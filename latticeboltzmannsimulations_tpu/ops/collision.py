@@ -163,7 +163,8 @@ def smagorinsky_tau(
     """
     fneq = f - feq
     q_xy = fneq[5] - fneq[6] + fneq[7] - fneq[8]
-    disc = tau0 * tau0 + (18.0 * np.sqrt(2.0) * cs2 * jnp.abs(q_xy)) / rho
+    # python-float coefficient (a NumPy scalar would promote f32 fields)
+    disc = tau0 * tau0 + (18.0 * (2.0 ** 0.5) * cs2 * jnp.abs(q_xy)) / rho
     return 0.5 * (tau0 + jnp.sqrt(disc))
 
 
