@@ -4,7 +4,7 @@ so oracle-equivalence tests can run at tight tolerances."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override any preset platform (e.g. a TPU tunnel)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +13,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize pins JAX_PLATFORMS to the TPU tunnel before
+# conftest runs; the config-level update below wins over it.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
