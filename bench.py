@@ -1,0 +1,70 @@
+"""Headline benchmark: MLUPS at 1024x1024 D2Q9 MRT lid-driven cavity.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 2000 MLUPS/chip (BASELINE.md build target; the reference's best
+measured GPU number is 3456 MLUPS at 640^2 SRT, CythonPerformance.ods).
+
+MLUPS = nx * ny * steps * 1e-6 / elapsed   (reference: MRTTiledPull.py:703)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _force(x) -> float:
+    """Force execution with a scalar fetch (block_until_ready does not block
+    over the axon TPU relay)."""
+    return float(np.asarray(x[(0,) * x.ndim]))
+
+
+def main() -> None:
+    from latticeboltzmannsimulations_tpu import engine
+    from latticeboltzmannsimulations_tpu.config import SimConfig
+
+    cfg = SimConfig(
+        nx=1024, ny=1024, reynolds=5000.0, collision="mrt",
+        precision="float32",
+    ).validate()
+
+    steps_per_chunk = 500
+    state = engine.init_state(cfg)
+
+    runner = None
+    backend = "fused-jnp"
+    try:
+        from latticeboltzmannsimulations_tpu.kernels import pallas_pull
+
+        runner = pallas_pull.make_scan_runner(cfg, steps_per_chunk)
+        backend = "pallas-pull"
+    except Exception:
+        pass
+    if runner is None:
+        runner = engine.make_scan_runner(cfg, steps_per_chunk)
+
+    # Warmup / compile.
+    state = runner(state)
+    _force(state.f)
+
+    n_chunks = 6
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state = runner(state)
+    _force(state.f)
+    elapsed = time.perf_counter() - t0
+
+    steps = steps_per_chunk * n_chunks
+    mlups = cfg.nx * cfg.ny * steps * 1e-6 / elapsed
+    print(json.dumps({
+        "metric": f"MLUPS 1024x1024 D2Q9 MRT cavity ({backend})",
+        "value": round(mlups, 1),
+        "unit": "MLUPS",
+        "vs_baseline": round(mlups / 2000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
