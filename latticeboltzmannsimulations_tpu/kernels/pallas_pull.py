@@ -1,0 +1,237 @@
+"""Fused pull collide-and-stream Pallas kernel.
+
+TPU re-design of the reference's fastest backend, the structure-of-arrays
+tiled pull CUDA kernel (reference: ``MRTTiledPull.py:379-515``): each step is
+ONE pass over the 9 population planes — gather from upwind neighbors, NEBB
+wall rewrite in registers, macroscopic moments, collision, in-place-style
+store — so the step moves exactly 2 x 9 planes of HBM traffic (1 read +
+1 write), the speed-of-light for this memory-bound stencil.
+
+Mapping onto the TPU:
+
+* the lattice is ``(9, X, Y)`` planar f32, Y on the 128-wide lane axis;
+* the grid tiles X into column strips; each program DMAs its
+  ``(9, TX+2, Y)`` x-halo window from HBM into VMEM scratch (the +-1 halo is
+  the pull stencil's upwind reach — the CUDA kernel's cross-block gathers),
+* the y-direction gather is an in-VMEM lane roll (wrap values only ever land
+  in populations the wall rewrite overwrites, exactly like the single-chip
+  ``jnp.roll`` engine — see ``ops/streaming.py``),
+* wall rewrites are branch-free ``where`` selects masked by lane/sublane
+  iota and the tile's position in the grid,
+* macros / equilibrium / collision reuse the exact ``ops`` functions, so the
+  kernel is arithmetic-identical to the fused-jnp engine (the test suite
+  asserts near-bit equality).
+
+State contract matches ``engine.State``: ``(f, rho_lid)`` where ``f`` is the
+post-collision field and ``rho_lid`` the previous lid-row density (the pull
+scheme's one-step memory; reference pre-collision trick:
+``MRTTiledPull.py:272``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import lattice
+from ..config import SimConfig
+from ..engine import State, _collide
+from ..ops.equilibrium import equilibrium, lid_row_density, macroscopics
+
+
+def pick_tile_x(nx: int, ny: int, vmem_budget_bytes: int = 10 * 2**20) -> int:
+    """Largest power-of-two x-tile that divides nx and keeps the working set
+    (halo scratch + double-buffered output + ~5 live temps) under budget.
+    Minimum 8 (the f32 sublane tile); capped at nx/2 so every tile's
+    8-aligned halo window fits inside the array."""
+    if nx % 8 or nx < 32:
+        raise ValueError(
+            f"Pallas kernel needs nx % 8 == 0 and nx >= 32, got {nx}"
+        )
+    tx = 8
+    while tx < nx // 2:
+        cand = tx * 2
+        if nx % cand:
+            break
+        # scratch (9,(tx+2),ny) + 2x out (9,tx,ny) + ~5 temps (tx,ny), f32
+        working = 4 * ny * (9 * (cand + 2) + 18 * cand + 5 * cand)
+        if working > vmem_budget_bytes:
+            break
+        tx = cand
+    return tx
+
+
+def _lane_roll(plane: jnp.ndarray, shift: int, interpret: bool) -> jnp.ndarray:
+    if shift == 0:
+        return plane
+    if interpret:  # pltpu.roll has no interpreter lowering
+        return jnp.roll(plane, shift, axis=1)
+    # pltpu.roll requires a non-negative shift.
+    return pltpu.roll(plane, shift=shift % plane.shape[1], axis=1)
+
+
+def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool):
+    nx, ny = cfg.nx, cfg.ny
+    u_lid = cfg.u_lid
+    n_tiles = nx // tile_x
+
+    def kernel(rho_lid_ref, f_hbm, f_out_ref, rho_lid_out_ref, scratch, sem):
+        i = pl.program_id(0)
+        first = i == 0
+        last = i == n_tiles - 1
+
+        # --- stage the x-halo window HBM -> VMEM --------------------------
+        # Mosaic requires DMA slice shapes/offsets aligned to the 8-sublane
+        # f32 tiling, so the one-column halo is over-fetched to an 8-aligned
+        # window: scratch column c holds global column i*TX - 16 + c (width
+        # TX+32); the tile's own columns always sit at offset 16.  The DMA
+        # copies TX+16 in-bounds columns and slides its *destination* offset
+        # (0/8/16, all aligned) instead of the source window at the global
+        # edges.  Stale columns there feed only wall populations, which the
+        # NEBB rewrite below overwrites.
+        src0 = pl.multiple_of(jnp.clip(i * tile_x - 8, 0, nx - (tile_x + 16)), 8)
+        dst0 = pl.multiple_of(src0 - (i * tile_x - 16), 8)  # in {0, 8, 16}
+        dma = pltpu.make_async_copy(
+            f_hbm.at[:, pl.ds(src0, tile_x + 16), :],
+            scratch.at[:, pl.ds(dst0, tile_x + 16), :],
+            sem,
+        )
+        dma.start()
+        dma.wait()
+
+        # --- pull gather: g_k(x, y) = f_k(x - cx, y + cy) ------------------
+        # x via static slices of the staged halo window; y via a lane roll
+        # whose wrap values only land in lid/bottom-rewritten populations.
+        gs = []
+        for k in range(lattice.Q):
+            cx = int(lattice.CX[k])
+            cy = int(lattice.CY[k])
+            p = scratch[k, 16 - cx : 16 - cx + tile_x, :]
+            gs.append(_lane_roll(p, -cy, interpret))
+
+        # --- reduced NEBB wall rewrite (engine._fused_gather_bc) ----------
+        # Branch-free where-selects on the individual planes (a scatter-free
+        # form Mosaic can lower).  Update order matches the fused engine so
+        # corner chaining is identical.
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_x, ny), 0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_x, ny), 1)
+        m_left = jnp.logical_and(first, col == 0)
+        m_right = jnp.logical_and(last, col == tile_x - 1)
+        m_bot = row == ny - 1
+        m_lid = row == 0
+
+        # Left wall: f1<-f3, f5<-f7, f8<-f6.
+        gs[1] = jnp.where(m_left, gs[3], gs[1])
+        gs[5] = jnp.where(m_left, gs[7], gs[5])
+        gs[8] = jnp.where(m_left, gs[6], gs[8])
+        # Right wall: f3<-f1, f6<-f8, f7<-f5.
+        gs[3] = jnp.where(m_right, gs[1], gs[3])
+        gs[6] = jnp.where(m_right, gs[8], gs[6])
+        gs[7] = jnp.where(m_right, gs[5], gs[7])
+        # Bottom wall: f2<-f4, f5<-f7, f6<-f8.
+        gs[2] = jnp.where(m_bot, gs[4], gs[2])
+        gs[5] = jnp.where(m_bot, gs[7], gs[5])
+        gs[6] = jnp.where(m_bot, gs[8], gs[6])
+        # Lid: f4<-f2; f7<-f5 - mom; f8<-f6 + mom, mom zeroed at the two
+        # global corner columns (their previous wall velocity is 0).
+        mom_col = rho_lid_ref[0, :] * (u_lid / 6.0)  # (TX,)
+        corner = jnp.logical_or(m_left[:, 0], m_right[:, 0])  # (TX,)
+        mom_col = jnp.where(corner, 0.0, mom_col)
+        mom = mom_col[:, None]  # (TX, 1) broadcasts over lanes
+        gs[4] = jnp.where(m_lid, gs[2], gs[4])
+        gs[7] = jnp.where(m_lid, gs[5] - mom, gs[7])
+        gs[8] = jnp.where(m_lid, gs[6] + mom, gs[8])
+        g = jnp.stack(gs)  # (9, TX, ny)
+
+        # --- macros + wall velocity overrides (engine._fused_macros) ------
+        rho, u = macroscopics(g)
+        m_static = m_left | m_right | m_bot
+        ux = jnp.where(m_static, 0.0, u[0])
+        uy = jnp.where(m_static, 0.0, u[1])
+        m_lid_in = jnp.logical_and(m_lid, jnp.logical_not(m_left | m_right))
+        ux = jnp.where(m_lid_in, u_lid, ux)
+        uy = jnp.where(m_lid_in, 0.0, uy)
+        rho_closure = lid_row_density(g)  # closure of full planes; row 0 valid
+        rho = jnp.where(m_lid_in, rho_closure, rho)
+        u = jnp.stack([ux, uy])
+
+        # --- equilibrium + collision (shared ops code) ---------------------
+        feq = equilibrium(rho, u)
+        f_new = _collide(cfg, g, feq, rho)
+
+        f_out_ref[:, :, :] = f_new
+        rho_lid_out_ref[0, :] = rho[:, 0]
+
+    return kernel
+
+
+def make_step(cfg: SimConfig, interpret: bool = False) -> Callable[[State], State]:
+    """One fused Pallas collide-and-stream step, same trajectory as
+    ``engine.make_fused_step`` (asserted by tests)."""
+    cfg.validate()
+    if cfg.precision != "float32" and not interpret:
+        raise ValueError("the Pallas kernel is float32 (TPU-native precision)")
+    nx, ny = cfg.nx, cfg.ny
+    tile_x = pick_tile_x(nx, ny)
+    n_tiles = nx // tile_x
+    kernel = _make_kernel(cfg, tile_x, interpret)
+    dtype = jnp.float32 if not interpret else None
+
+    def step(state: State) -> State:
+        f = state.f
+        rho_lid = state.rho_lid.reshape(1, nx)
+        f_new, rho_lid_new = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, tile_x), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # f stays in HBM
+            ],
+            out_specs=[
+                pl.BlockSpec((lattice.Q, tile_x, ny), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_x), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(f.shape, f.dtype),
+                jax.ShapeDtypeStruct((1, nx), f.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((lattice.Q, tile_x + 32, ny), f.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=300 * nx * ny,
+                bytes_accessed=2 * 9 * nx * ny * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(rho_lid, f)
+        return State(f=f_new, rho_lid=rho_lid_new.reshape(nx))
+
+    return step
+
+
+def make_scan_runner(cfg: SimConfig, n_steps: int, interpret: bool = False):
+    """N Pallas steps in one jitted dispatch (lax.scan) — the sound TPU
+    version of the reference's persistent-kernel time loop
+    (reference: ``MRTtestLoopIn.py:366-472``)."""
+    step = make_step(cfg, interpret=interpret)
+
+    @jax.jit
+    def run(state: State) -> State:
+        def body(s, _):
+            return step(s), None
+
+        state, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return state
+
+    return run

@@ -27,7 +27,8 @@ def _plus_minus(f: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
     f+_k = (f_k + f_kbar)/2, f-_k = (f_k - f_kbar)/2 (reference: MRT.py:296-311).
     """
-    fb = f[jnp.asarray(lattice.OPP)]
+    # Unrolled static reorder (no captured index array — Pallas-kernel safe).
+    fb = jnp.stack([f[int(o)] for o in lattice.OPP])
     return 0.5 * (f + fb), 0.5 * (f - fb)
 
 

@@ -18,20 +18,32 @@ import numpy as np
 from .. import lattice
 
 
-def _consts(dtype):
-    w = jnp.asarray(lattice.W, dtype=dtype).reshape(9, 1, 1)
-    cx = jnp.asarray(lattice.CX, dtype=dtype).reshape(9, 1, 1)
-    cy = jnp.asarray(lattice.CY, dtype=dtype).reshape(9, 1, 1)
-    return w, cx, cy
-
-
 def equilibrium(rho: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-    """feq from density ``rho (X, Y)`` and velocity ``u (2, X, Y)``."""
-    dtype = u.dtype
-    w, cx, cy = _consts(dtype)
-    cu = cx * u[0] + cy * u[1]                       # (9, X, Y)
-    usqr = u[0] * u[0] + u[1] * u[1]                 # (X, Y)
-    return rho[None] * w * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usqr[None])
+    """feq from density ``rho (X, Y)`` and velocity ``u (2, X, Y)``.
+
+    Unrolled over the 9 directions with Python-scalar coefficients (no
+    captured constant arrays) so the same code runs inside Pallas kernels;
+    zero velocity components are elided, which is bit-identical to the
+    broadcast form.
+    """
+    ux, uy = u[0], u[1]
+    usqr15 = 1.5 * (ux * ux + uy * uy)               # (X, Y)
+    planes = []
+    for k in range(lattice.Q):
+        cx, cy, w = float(lattice.CX[k]), float(lattice.CY[k]), float(lattice.W[k])
+        if cx and cy:
+            cu = cx * ux + cy * uy
+        elif cx:
+            cu = cx * ux
+        elif cy:
+            cu = cy * uy
+        else:
+            cu = None
+        if cu is None:
+            planes.append(rho * w * (1.0 - usqr15))
+        else:
+            planes.append(rho * w * (1.0 + 3.0 * cu + 4.5 * cu * cu - usqr15))
+    return jnp.stack(planes)
 
 
 def macroscopics(f: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

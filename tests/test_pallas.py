@@ -1,0 +1,76 @@
+"""Pallas kernel == fused-jnp engine, exactly (interpret mode on CPU).
+
+The kernel re-implements gather + NEBB with tile-local masks and a staged
+x-halo window; macros/equilibrium/collision reuse the shared ops code, so
+the trajectories must agree bit-for-bit in f32."""
+
+import jax
+import numpy as np
+import pytest
+
+from latticeboltzmannsimulations_tpu import engine
+from latticeboltzmannsimulations_tpu.config import SimConfig
+from latticeboltzmannsimulations_tpu.kernels import pallas_pull
+
+
+def _cfg(**kw):
+    base = dict(nx=64, ny=64, reynolds=400.0, precision="float32")
+    base.update(kw)
+    return SimConfig(**base)
+
+
+@pytest.mark.parametrize("collision", ["srt", "trt", "mrt"])
+def test_kernel_matches_fused_engine(collision):
+    cfg = _cfg(collision=collision)
+    ref_step = jax.jit(engine.make_fused_step(cfg))
+    pk_step = pallas_pull.make_step(cfg, interpret=True)
+    s_ref = s_pk = engine.init_state(cfg)
+    for _ in range(10):
+        s_ref = ref_step(s_ref)
+        s_pk = pk_step(s_pk)
+    np.testing.assert_array_equal(np.asarray(s_pk.f), np.asarray(s_ref.f))
+    np.testing.assert_array_equal(
+        np.asarray(s_pk.rho_lid), np.asarray(s_ref.rho_lid)
+    )
+
+
+def test_kernel_smagorinsky_matches():
+    cfg = _cfg(collision="srt", turbulence="smagorinsky", reynolds=5000.0)
+    ref_step = jax.jit(engine.make_fused_step(cfg))
+    pk_step = pallas_pull.make_step(cfg, interpret=True)
+    s_ref = s_pk = engine.init_state(cfg)
+    for _ in range(6):
+        s_ref = ref_step(s_ref)
+        s_pk = pk_step(s_pk)
+    np.testing.assert_array_equal(np.asarray(s_pk.f), np.asarray(s_ref.f))
+
+
+def test_kernel_non_square_and_rect_tiles():
+    cfg = _cfg(nx=96, ny=64)
+    ref_step = jax.jit(engine.make_fused_step(cfg))
+    pk_step = pallas_pull.make_step(cfg, interpret=True)
+    s_ref = s_pk = engine.init_state(cfg)
+    for _ in range(4):
+        s_ref = ref_step(s_ref)
+        s_pk = pk_step(s_pk)
+    np.testing.assert_array_equal(np.asarray(s_pk.f), np.asarray(s_ref.f))
+
+
+def test_scan_runner_matches_stepwise():
+    cfg = _cfg(collision="mrt")
+    runner = pallas_pull.make_scan_runner(cfg, 8, interpret=True)
+    step = pallas_pull.make_step(cfg, interpret=True)
+    s0 = engine.init_state(cfg)
+    out = runner(s0)
+    s = s0
+    for _ in range(8):
+        s = step(s)
+    np.testing.assert_array_equal(np.asarray(out.f), np.asarray(s.f))
+
+
+def test_pick_tile_x_constraints():
+    assert pallas_pull.pick_tile_x(1024, 1024) % 8 == 0
+    assert 1024 % pallas_pull.pick_tile_x(1024, 1024) == 0
+    assert pallas_pull.pick_tile_x(64, 64) == 32
+    with pytest.raises(ValueError):
+        pallas_pull.pick_tile_x(20, 64)
