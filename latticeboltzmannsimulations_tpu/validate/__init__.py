@@ -2,7 +2,7 @@
 centerline profile extraction, R^2 / L2 fidelity metrics, vortex-center
 detection."""
 
-from .ghia_data import RE_VALUES, UX_MID_COLUMN, UY_MID_ROW, VORTICES  # noqa: F401
+from .ghia_data import RE_VALUES, has_reynolds, UX_MID_COLUMN, UY_MID_ROW, VORTICES  # noqa: F401
 from .ghia import (  # noqa: F401
     GhiaComparison,
     centerline_profiles,

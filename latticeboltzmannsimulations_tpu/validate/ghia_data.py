@@ -98,6 +98,11 @@ VORTICES = {
 }
 
 
+def has_reynolds(reynolds: float) -> bool:
+    """Is this Reynolds number covered by the Ghia tables?"""
+    return int(round(reynolds)) in RE_VALUES
+
+
 def re_index(reynolds: float) -> int:
     """Column index for a supported Reynolds number."""
     re_int = int(round(reynolds))

@@ -1,0 +1,107 @@
+"""Matplotlib diagnostics dashboard — capability parity with the reference's
+4-panel figure (reference: ``MRT.py:522-602``): centerline profiles vs the
+Ghia tables, streamlines with detected vortex centers, R²-vs-time history,
+and a parameter text block.  Saved as ``ldc_<step>.png``.
+
+Host-side only; runs every ``report_interval`` via the run callback.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from .config import SimConfig
+from .validate import compare_to_ghia, find_vortex_centers
+from .validate.ghia_data import has_reynolds
+
+
+def dashboard(
+    cfg: SimConfig,
+    rho: np.ndarray,
+    u: np.ndarray,
+    step: int,
+    r2_history: Optional[Sequence[tuple]] = None,
+    out_dir: str = "output",
+    prefix: str = "ldc",
+) -> str:
+    """Render and save the 4-panel diagnostics figure; returns the PNG path."""
+    rho = np.asarray(rho)
+    u = np.asarray(u)
+    nx, ny = cfg.nx, cfg.ny
+    ghia = compare_to_ghia(u, cfg.u_lid, cfg.reynolds) if has_reynolds(
+        cfg.reynolds
+    ) else None
+
+    fig, axes = plt.subplots(2, 2, figsize=(12, 10))
+    (ax_ux, ax_uy), (ax_stream, ax_r2) = axes
+
+    # Panel 1: Ux on the mid-column vs Ghia (reference: MRT.py:534-538).
+    y = 1.0 - np.arange(ny) / (ny - 1)
+    ax_ux.plot(u[0, nx // 2, :] / cfg.u_lid, y, "-", lw=1.5, label="LBM")
+    if ghia is not None:
+        ax_ux.plot(ghia.ux_ghia, ghia.y_stations, "ko", ms=4, label="Ghia 1982")
+        ax_ux.set_title(f"Ux mid-column  R²={ghia.r2_ux:.4f}")
+    else:
+        ax_ux.set_title("Ux mid-column")
+    ax_ux.set_xlabel("Ux / U_lid")
+    ax_ux.set_ylabel("y")
+    ax_ux.legend()
+    ax_ux.grid(alpha=0.3)
+
+    # Panel 2: Uy on the mid-row vs Ghia (reference: MRT.py:539-545).
+    x = np.arange(nx) / (nx - 1)
+    ax_uy.plot(x, u[1, :, ny // 2] / cfg.u_lid, "-", lw=1.5, label="LBM")
+    if ghia is not None:
+        ax_uy.plot(ghia.x_stations, ghia.uy_ghia, "ko", ms=4, label="Ghia 1982")
+        ax_uy.set_title(f"Uy mid-row  R²={ghia.r2_uy:.4f}")
+    else:
+        ax_uy.set_title("Uy mid-row")
+    ax_uy.set_xlabel("x")
+    ax_uy.set_ylabel("Uy / U_lid")
+    ax_uy.legend()
+    ax_uy.grid(alpha=0.3)
+
+    # Panel 3: streamlines + vortex centers (reference: MRT.py:546-558).
+    # Flip to bottom-up for display; transpose to (y, x) for streamplot.
+    ux_disp = u[0, :, ::-1].T
+    uy_disp = u[1, :, ::-1].T
+    xg = np.arange(nx) / (nx - 1)
+    yg = np.arange(ny) / (ny - 1)
+    speed = np.sqrt(ux_disp**2 + uy_disp**2)
+    ax_stream.streamplot(xg, yg, ux_disp, uy_disp, color=speed,
+                         cmap="viridis", density=1.4, linewidth=0.8)
+    for cx_, cy_ in find_vortex_centers(u, n_vortices=4):
+        ax_stream.plot(cx_, cy_, "r+", ms=12, mew=2)
+    ax_stream.set_title(f"streamlines, step {step}")
+    ax_stream.set_xlim(0, 1)
+    ax_stream.set_ylim(0, 1)
+    ax_stream.set_aspect("equal")
+
+    # Panel 4: R² history + parameter block (reference: MRT.py:570-601).
+    if r2_history:
+        steps = [h[0] for h in r2_history]
+        vals = [h[1] for h in r2_history]
+        ax_r2.plot(steps, vals, "o-")
+        ax_r2.set_ylim(min(0.0, min(vals)), 1.02)
+    ax_r2.set_title("R² (Ux vs Ghia) history")
+    ax_r2.set_xlabel("step")
+    ax_r2.grid(alpha=0.3)
+    ax_r2.text(
+        0.02, 0.02, cfg.describe(), transform=ax_r2.transAxes,
+        fontsize=8, va="bottom", family="monospace",
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{prefix}_{step:06d}.png")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
