@@ -84,21 +84,29 @@ def init_pull_oracle_state(cfg: SimConfig) -> PullOracleState:
 # Collision dispatch (shared by all engines)
 # ---------------------------------------------------------------------------
 
-def _collide(cfg: SimConfig, f_bc, feq, rho):
+def _collide(cfg: SimConfig, f_bc, feq, rho, omega=None):
     """Apply the configured collision operator, optionally with the
-    Smagorinsky effective relaxation time."""
+    Smagorinsky effective relaxation time.
+
+    ``omega`` overrides the config-derived shear relaxation rate; it may be a
+    *traced* scalar, which lets one compiled step serve a whole Reynolds
+    sweep (``ml/datagen.py`` vmaps over it).
+    """
+    om0 = cfg.omega if omega is None else omega
+    tau0 = cfg.tau if omega is None else 1.0 / om0
     if cfg.turbulence == "smagorinsky":
-        tau_eff = coll.smagorinsky_tau(f_bc, feq, rho, cfg.tau, cfg.smagorinsky_cs2)
+        tau_eff = coll.smagorinsky_tau(f_bc, feq, rho, tau0, cfg.smagorinsky_cs2)
         omega_eff = 1.0 / tau_eff  # (X, Y) field
     else:
-        omega_eff = cfg.omega
+        omega_eff = om0
 
     if cfg.collision == "srt":
         return coll.srt_collide(f_bc, feq, omega_eff)
     if cfg.collision == "trt":
-        if cfg.turbulence == "smagorinsky":
-            return coll.trt_collide(f_bc, feq, omega_eff, cfg.trt_omega_minus)
-        return coll.trt_collide(f_bc, feq, cfg.trt_omega_plus, cfg.trt_omega_minus)
+        # omega^- from the magic parameter (traced-safe form of
+        # cfg.trt_omega_minus).
+        omega_minus = 1.0 / (0.5 + cfg.trt_magic / (tau0 - 0.5))
+        return coll.trt_collide(f_bc, feq, omega_eff, omega_minus)
     if cfg.collision == "mrt":
         return coll.mrt_collide(
             f_bc, omega_eff, cfg.mrt_omega_e, cfg.mrt_omega_eps, cfg.mrt_omega_q
@@ -194,6 +202,22 @@ def make_fused_step(cfg: SimConfig) -> Callable[[State], State]:
         rho, u = _fused_macros(cfg, g)
         feq = equilibrium(rho, u)
         f_new = _collide(cfg, g, feq, rho)
+        return State(f=f_new, rho_lid=rho[:, 0])
+
+    return step
+
+
+def make_fused_step_omega(cfg: SimConfig) -> Callable[[State, jnp.ndarray], State]:
+    """Fused step with the shear relaxation rate as a *traced* argument, so a
+    single compiled step serves every Reynolds number of a sweep (the
+    TPU-native redesign of the reference's 500 sequential datagen runs,
+    reference: ``MRT_GPU_datagen.py:55-57``).  Vmappable over (state, omega)."""
+
+    def step(state: State, omega) -> State:
+        g = _fused_gather_bc(cfg, state.f, state.rho_lid)
+        rho, u = _fused_macros(cfg, g)
+        feq = equilibrium(rho, u)
+        f_new = _collide(cfg, g, feq, rho, omega=omega)
         return State(f=f_new, rho_lid=rho[:, 0])
 
     return step

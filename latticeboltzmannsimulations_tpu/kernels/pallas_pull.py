@@ -140,7 +140,7 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool):
         gs[6] = jnp.where(m_bot, gs[8], gs[6])
         # Lid: f4<-f2; f7<-f5 - mom; f8<-f6 + mom, mom zeroed at the two
         # global corner columns (their previous wall velocity is 0).
-        mom_col = rho_lid_ref[0, :] * (u_lid / 6.0)  # (TX,)
+        mom_col = rho_lid_ref[:, 0] * (u_lid / 6.0)  # (TX,)
         corner = jnp.logical_or(m_left[:, 0], m_right[:, 0])  # (TX,)
         mom_col = jnp.where(corner, 0.0, mom_col)
         mom = mom_col[:, None]  # (TX, 1) broadcasts over lanes
@@ -166,7 +166,7 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool):
         f_new = _collide(cfg, g, feq, rho)
 
         f_out_ref[:, :, :] = f_new
-        rho_lid_out_ref[0, :] = rho[:, 0]
+        rho_lid_out_ref[:, 0] = rho[:, 0]
 
     return kernel
 
@@ -185,24 +185,26 @@ def make_step(cfg: SimConfig, interpret: bool = False) -> Callable[[State], Stat
 
     def step(state: State) -> State:
         f = state.f
-        rho_lid = state.rho_lid.reshape(1, nx)
+        rho_lid = state.rho_lid.reshape(nx, 1)
         f_new, rho_lid_new = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((1, tile_x), lambda i: (0, i),
+                # (nx, 1) column layout: the tiled dim rides the sublanes so
+                # the block obeys the (8, 128) tiling rule at any tile size.
+                pl.BlockSpec((tile_x, 1), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),  # f stays in HBM
             ],
             out_specs=[
                 pl.BlockSpec((lattice.Q, tile_x, ny), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile_x), lambda i: (0, i),
+                pl.BlockSpec((tile_x, 1), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct(f.shape, f.dtype),
-                jax.ShapeDtypeStruct((1, nx), f.dtype),
+                jax.ShapeDtypeStruct((nx, 1), f.dtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((lattice.Q, tile_x + 32, ny), f.dtype),

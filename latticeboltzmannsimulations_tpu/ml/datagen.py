@@ -1,0 +1,158 @@
+"""Reynolds-sweep dataset generator.
+
+Capability parity with the reference generator (``MRT_GPU_datagen.py``):
+sweep Re (default 100..5090 step 10 — 500 runs at 384², SRT + Smagorinsky,
+reference ``:55-57,63-69``), run each cavity to convergence
+(|d mean(u)|/uLB < 1e-8 sustained, reference ``:866-872``), and emit the same
+four-array schema (reference ``:886-902``)::
+
+    Re_range    (N,)
+    feq_initial (9, X, Y)
+    f_final     (N, 9, X, Y)
+    u_final     (N, 2, X, Y)
+
+TPU-first redesign: instead of 500 sequential device runs, the sweep is
+*vmapped* — one compiled step serves every Reynolds number (omega is a traced
+argument, ``engine.make_fused_step_omega``), and a whole batch of independent
+cavities advances per dispatch, saturating the VPU at small grid sizes.
+Batches run until every member converges (steady states are fixed points, so
+early finishers just sit on their solution).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import engine
+from ..config import SimConfig
+
+
+@dataclasses.dataclass
+class DatasetArrays:
+    re_range: np.ndarray     # (N,)
+    feq_initial: np.ndarray  # (9, X, Y)
+    f_final: np.ndarray      # (N, 9, X, Y)
+    u_final: np.ndarray      # (N, 2, X, Y)
+
+
+def _batched_runner(cfg: SimConfig, chunk_steps: int):
+    """(batched state, omegas) -> batched state after ``chunk_steps``."""
+    step = engine.make_fused_step_omega(cfg)
+    vstep = jax.vmap(step, in_axes=(engine.State(f=0, rho_lid=0), 0))
+
+    @jax.jit
+    def run(state, omegas):
+        def body(s, _):
+            return vstep(s, omegas), None
+
+        state, _ = jax.lax.scan(body, state, None, length=chunk_steps)
+        return state
+
+    return run
+
+
+def _batched_observables(cfg: SimConfig):
+    obs = lambda s: engine.observables(cfg, s)
+    return jax.jit(jax.vmap(obs))
+
+
+def generate_dataset(
+    cfg: SimConfig,
+    re_values: Optional[np.ndarray] = None,
+    batch_size: int = 32,
+    progress: Optional[Callable[[str], None]] = None,
+) -> DatasetArrays:
+    """Run the sweep and return the dataset arrays.
+
+    ``cfg`` fixes the grid / operator / turbulence model; ``cfg.reynolds`` is
+    ignored in favor of ``re_values``.  Convergence uses
+    ``cfg.convergence_tol`` / ``cfg.convergence_hits`` / ``cfg.max_steps``
+    with checks every ``cfg.report_interval`` steps.
+    """
+    if re_values is None:
+        re_values = np.arange(100, 5100, 10, dtype=np.float64)  # 500 runs
+    re_values = np.asarray(re_values, dtype=np.float64)
+    n = len(re_values)
+
+    state0 = engine.init_state(cfg)
+    feq_initial = np.asarray(state0.f)  # initial equilibrium (datagen :281)
+
+    chunk = max(1, cfg.report_interval)
+    runner = _batched_runner(cfg, chunk)
+    obs = _batched_observables(cfg)
+
+    f_final = np.empty((n, 9, cfg.nx, cfg.ny), dtype=feq_initial.dtype)
+    u_final = np.empty((n, 2, cfg.nx, cfg.ny), dtype=feq_initial.dtype)
+
+    for lo in range(0, n, batch_size):
+        hi = min(lo + batch_size, n)
+        res = re_values[lo:hi]
+        omegas = jnp.asarray(
+            [dataclasses.replace(cfg, reynolds=float(r)).omega for r in res],
+            dtype=cfg.dtype,
+        )
+        b = hi - lo
+        state = engine.State(
+            f=jnp.broadcast_to(state0.f, (b, *state0.f.shape)),
+            rho_lid=jnp.broadcast_to(state0.rho_lid, (b, *state0.rho_lid.shape)),
+        )
+        mean_past = np.full(b, np.inf)
+        hits = np.zeros(b, dtype=int)
+        steps = 0
+        while steps < cfg.max_steps:
+            state = runner(state, omegas)
+            steps += chunk
+            _, u = obs(state)
+            mean_u = np.asarray(
+                jnp.mean(u, axis=(1, 2, 3), dtype=jnp.float64)
+            )
+            if not np.all(np.isfinite(mean_u)):
+                bad = res[~np.isfinite(mean_u)]
+                raise FloatingPointError(
+                    f"divergence in sweep batch at Re={bad.tolist()}"
+                )
+            done = np.abs(mean_u - mean_past) / cfg.u_lid < cfg.convergence_tol
+            hits = np.where(done, hits + 1, 0)
+            mean_past = mean_u
+            if np.all(hits > cfg.convergence_hits):
+                break
+        if progress is not None:
+            progress(
+                f"Re[{lo}:{hi}] ({res[0]:g}..{res[-1]:g}): {steps} steps, "
+                f"{int((hits > cfg.convergence_hits).sum())}/{b} converged"
+            )
+        rho_b, u_b = obs(state)
+        f_final[lo:hi] = np.asarray(state.f)
+        u_final[lo:hi] = np.asarray(u_b)
+
+    return DatasetArrays(
+        re_range=re_values,
+        feq_initial=feq_initial,
+        f_final=f_final,
+        u_final=u_final,
+    )
+
+
+def save_dataset(ds: DatasetArrays, out_dir: str) -> None:
+    """Same four-file .npy layout as the reference
+    (reference: ``MRT_GPU_datagen.py:899-902``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "Re_range.npy"), ds.re_range)
+    np.save(os.path.join(out_dir, "feq_initial.npy"), ds.feq_initial)
+    np.save(os.path.join(out_dir, "f_final.npy"), ds.f_final)
+    np.save(os.path.join(out_dir, "u_final.npy"), ds.u_final)
+
+
+def load_dataset(out_dir: str) -> DatasetArrays:
+    return DatasetArrays(
+        re_range=np.load(os.path.join(out_dir, "Re_range.npy")),
+        feq_initial=np.load(os.path.join(out_dir, "feq_initial.npy")),
+        f_final=np.load(os.path.join(out_dir, "f_final.npy")),
+        u_final=np.load(os.path.join(out_dir, "u_final.npy")),
+    )

@@ -1,0 +1,261 @@
+"""Surrogate training: optax/flax re-build of the reference Keras pipeline
+(common structure of ``CNN_*.py``: load .npy -> scale -> fnet assembly ->
+80/20 split -> per-component model -> RMSprop/Adam + MSE -> save weights +
+loss-history plot; fine-tuning driver = ``CNN_test.py`` capability).
+
+TPU-first notes: data stays on device between steps, the update is one jitted
+function, and inputs are NHWC so convolutions land on the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from .datagen import DatasetArrays
+from .models import CNNPreset, PRESETS, make_model
+from .scaling import MaxScaler, MinMaxScaler
+
+
+# ---------------------------------------------------------------------------
+# Input assembly (reference: CNNEight_384/CNN_Eight.py:19-99)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PreparedData:
+    fnet: np.ndarray          # (N, H, W, 10) scaled feq planes + Re plane
+    aux: Optional[np.ndarray]  # (N, H, W, 2) lid-BC velocity planes or None
+    targets: Dict[str, np.ndarray]  # component -> (N, H, W, 1) scaled
+    scalers: Dict[str, dict]  # serializable scaler state
+    u_lid: float
+
+
+def _make_scalers(preset: CNNPreset):
+    if preset.scaling == "max":
+        return {k: MaxScaler() for k in ("re", "feq", "vel")}
+    rng = preset.scale_range
+    if preset.scaling == "minmax":
+        return {"re": MinMaxScaler(rng), "feq": None, "vel": None}
+    if preset.scaling == "minmax_all":
+        return {k: MinMaxScaler(rng) for k in ("re", "feq", "vel")}
+    raise ValueError(preset.scaling)
+
+
+def prepare_inputs(ds: DatasetArrays, preset: CNNPreset,
+                   u_lid: float = 0.08) -> PreparedData:
+    """Scale and assemble the network inputs.
+
+    fnet = concat(feq_initial broadcast over runs [9ch], Re plane [1ch]);
+    aux = lid-row velocity planes velBCx/velBCy (zero except the lid row)
+    (reference: ``CNN_Eight.py:23-25,86-91``).
+    """
+    n = len(ds.re_range)
+    scalers = _make_scalers(preset)
+
+    feq = np.transpose(ds.feq_initial, (1, 2, 0))       # (H, W, 9)
+    if scalers["feq"] is not None:
+        feq = scalers["feq"].fit_transform(feq)
+    re_scaled = scalers["re"].fit_transform(
+        np.asarray(ds.re_range, np.float64)
+    ).astype(np.float32)
+
+    h, w = feq.shape[:2]
+    fnet = np.empty((n, h, w, 10), np.float32)
+    fnet[..., :9] = feq[None]
+    fnet[..., 9] = re_scaled[:, None, None]
+
+    vel = np.transpose(ds.u_final, (0, 2, 3, 1))        # (N, H, W, 2)
+    if scalers["vel"] is not None:
+        vel = scalers["vel"].fit_transform(vel)
+    targets = {"x": vel[..., :1], "y": vel[..., 1:2]}
+
+    aux = None
+    if preset.aux_bc_at_input or preset.aux_bc_at_head:
+        bc = np.zeros((h, w, 2), np.float32)
+        bc[:, 0, 0] = u_lid  # lid row (y index 0), x-velocity
+        if scalers["vel"] is not None:
+            bc = scalers["vel"].transform(bc)
+        aux = np.broadcast_to(bc, (n, h, w, 2)).copy()
+
+    return PreparedData(
+        fnet=fnet, aux=aux, targets=targets,
+        scalers={k: (s.to_dict() if s is not None else None)
+                 for k, s in scalers.items()},
+        u_lid=u_lid,
+    )
+
+
+def train_val_split(n: int, val_frac: float = 0.2, seed: int = 4):
+    """Deterministic shuffle split (reference: train_test_split
+    ``random_state=4``, ``CNN_Eight.py:98``)."""
+    perm = np.random.default_rng(seed).permutation(n)
+    n_val = max(1, int(round(n * val_frac)))
+    return perm[n_val:], perm[:n_val]
+
+
+# ---------------------------------------------------------------------------
+# Training loop
+# ---------------------------------------------------------------------------
+
+def _optimizer(preset: CNNPreset, lr: float):
+    if preset.optimizer == "adam":
+        return optax.adam(lr)
+    return optax.rmsprop(lr)
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: dict
+    history: dict           # {"loss": [...], "val_loss": [...]}
+    preset: CNNPreset
+    component: str
+
+
+def train(
+    preset_name: str,
+    data: PreparedData,
+    component: str = "x",
+    epochs: Optional[int] = None,
+    batch_size: Optional[int] = None,
+    learning_rate: float = 1e-3,
+    seed: int = 0,
+    init_params: Optional[dict] = None,
+    verbose: bool = False,
+) -> TrainResult:
+    """Train one velocity-component surrogate.  Pass ``init_params`` to
+    fine-tune from saved weights at a lower LR (the ``CNN_test.py``
+    capability, reference: ``CNN_test.py:100-106``)."""
+    preset = PRESETS[preset_name]
+    model = make_model(preset_name)
+    epochs = preset.epochs if epochs is None else epochs
+    batch_size = preset.batch_size if batch_size is None else batch_size
+
+    x = jnp.asarray(data.fnet)
+    aux = jnp.asarray(data.aux) if data.aux is not None else None
+    y = jnp.asarray(data.targets[component])
+    tr_idx, va_idx = train_val_split(len(x))
+
+    rng = jax.random.PRNGKey(seed)
+    if init_params is None:
+        args = (x[:1],) if aux is None else (x[:1], aux[:1])
+        params = model.init(rng, *args)["params"]
+    else:
+        params = init_params
+    tx = _optimizer(preset, learning_rate)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, xb, auxb, yb):
+        pred = model.apply({"params": p}, xb) if auxb is None else \
+            model.apply({"params": p}, xb, auxb)
+        return jnp.mean((pred - yb) ** 2)
+
+    @jax.jit
+    def update(p, o, xb, auxb, yb):
+        loss, grads = jax.value_and_grad(loss_fn)(p, xb, auxb, yb)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    eval_loss = jax.jit(loss_fn)
+
+    history = {"loss": [], "val_loss": []}
+    steps_per_epoch = max(1, len(tr_idx) // batch_size)
+    shuffle_rng = np.random.default_rng(seed)
+    for ep in range(epochs):
+        order = shuffle_rng.permutation(tr_idx)
+        ep_loss = 0.0
+        for s in range(steps_per_epoch):
+            bi = order[s * batch_size : (s + 1) * batch_size]
+            bi = jnp.asarray(bi)
+            auxb = None if aux is None else aux[bi]
+            params, opt_state, loss = update(
+                params, opt_state, x[bi], auxb, y[bi]
+            )
+            ep_loss += float(loss)
+        va = jnp.asarray(va_idx)
+        vaux = None if aux is None else aux[va]
+        vl = float(eval_loss(params, x[va], vaux, y[va]))
+        history["loss"].append(ep_loss / steps_per_epoch)
+        history["val_loss"].append(vl)
+        if verbose:
+            print(f"[{preset_name}/{component}] epoch {ep + 1}/{epochs} "
+                  f"loss={history['loss'][-1]:.3e} val={vl:.3e}")
+
+    return TrainResult(params=jax.device_get(params), history=history,
+                       preset=preset, component=component)
+
+
+def fine_tune(preset_name: str, data: PreparedData, params: dict,
+              component: str = "x", epochs: int = 50,
+              learning_rate: float = 1e-4, **kw) -> TrainResult:
+    """Refit saved weights at a lower LR (reference: ``CNN_test.py:100-106``,
+    RMSprop lr=1e-4)."""
+    return train(preset_name, data, component=component, epochs=epochs,
+                 learning_rate=learning_rate, init_params=params, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Persistence (replaces Keras .h5 saves, reference: CNN_Eight.py:161)
+# ---------------------------------------------------------------------------
+
+def save_weights(result: TrainResult, out_dir: str,
+                 scalers: Optional[dict] = None) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    stem = f"{result.preset.name}_{result.component}"
+    path = os.path.join(out_dir, stem + ".msgpack")
+    with open(path, "wb") as fh:
+        fh.write(serialization.to_bytes(result.params))
+    meta = {
+        "preset": result.preset.name,
+        "component": result.component,
+        "history": result.history,
+    }
+    if scalers is not None:
+        meta["scalers"] = scalers
+    with open(os.path.join(out_dir, stem + ".json"), "w") as fh:
+        json.dump(meta, fh)
+    return path
+
+
+def load_weights(preset_name: str, component: str, out_dir: str,
+                 example: Tuple[np.ndarray, Optional[np.ndarray]]):
+    """Load params (shape-restored against an example input)."""
+    model = make_model(preset_name)
+    x, aux = example
+    rng = jax.random.PRNGKey(0)
+    args = (jnp.asarray(x[:1]),) if aux is None else (
+        jnp.asarray(x[:1]), jnp.asarray(aux[:1]))
+    template = model.init(rng, *args)["params"]
+    stem = f"{preset_name}_{component}"
+    with open(os.path.join(out_dir, stem + ".msgpack"), "rb") as fh:
+        params = serialization.from_bytes(template, fh.read())
+    meta_path = os.path.join(out_dir, stem + ".json")
+    meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+    return params, meta
+
+
+def plot_history(history: dict, path: str) -> str:
+    """Loss-history PNG (reference: ``CNN_Eight.py:153-159``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    ax.semilogy(history["loss"], label="train")
+    ax.semilogy(history["val_loss"], label="val")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("MSE")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path

@@ -1,0 +1,133 @@
+"""ML surrogate pipeline: datagen schema + convergence, model forward shapes,
+train/fine-tune/save/load round-trip, predict + comparison evaluation."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latticeboltzmannsimulations_tpu.config import SimConfig
+from latticeboltzmannsimulations_tpu.ml import (
+    PRESETS,
+    generate_dataset,
+    load_dataset,
+    make_model,
+    save_dataset,
+)
+from latticeboltzmannsimulations_tpu.ml import predict as ml_predict
+from latticeboltzmannsimulations_tpu.ml import train as ml_train
+from latticeboltzmannsimulations_tpu.ml.scaling import MaxScaler, MinMaxScaler
+
+
+def _datagen_cfg(n=48):
+    return SimConfig(
+        nx=n, ny=n, reynolds=100.0, collision="srt",
+        max_steps=400, report_interval=100,
+        convergence_tol=1e-5, convergence_hits=2, precision="float32",
+    )
+
+
+@pytest.fixture(scope="module")
+def small_dataset():
+    cfg = _datagen_cfg()
+    ds = generate_dataset(cfg, re_values=np.array([100.0, 150.0, 200.0, 250.0]),
+                          batch_size=4)
+    return cfg, ds
+
+
+def test_datagen_schema_and_roundtrip(small_dataset, tmp_path_factory):
+    cfg, ds = small_dataset
+    n = 4
+    assert ds.re_range.shape == (n,)
+    assert ds.feq_initial.shape == (9, cfg.nx, cfg.ny)
+    assert ds.f_final.shape == (n, 9, cfg.nx, cfg.ny)
+    assert ds.u_final.shape == (n, 2, cfg.nx, cfg.ny)
+    assert np.all(np.isfinite(ds.f_final))
+    # same four-file layout as the reference (MRT_GPU_datagen.py:899-902)
+    d = str(tmp_path_factory.mktemp("ds"))
+    save_dataset(ds, d)
+    assert sorted(os.listdir(d)) == [
+        "Re_range.npy", "f_final.npy", "feq_initial.npy", "u_final.npy"
+    ]
+    ds2 = load_dataset(d)
+    np.testing.assert_array_equal(ds2.u_final, ds.u_final)
+
+
+def test_datagen_physics_monotonic(small_dataset):
+    """Higher Re -> slower decay of the lid jet into the cavity: the
+    mid-column Ux minimum should differ across Re (fields not identical)."""
+    _, ds = small_dataset
+    mins = [u[0].min() for u in ds.u_final]
+    assert len(set(np.round(mins, 6))) == len(mins)
+
+
+def test_scalers_roundtrip():
+    a = np.linspace(-3, 7, 50).reshape(5, 10)
+    mm = MinMaxScaler((0.2, 0.7))
+    out = mm.fit_transform(a)
+    assert out.min() == pytest.approx(0.2) and out.max() == pytest.approx(0.7)
+    np.testing.assert_allclose(mm.inverse_transform(out), a, atol=1e-12)
+    mm2 = MinMaxScaler.from_dict(mm.to_dict())
+    np.testing.assert_allclose(mm2.transform(a), out)
+
+    mx = MaxScaler()
+    np.testing.assert_allclose(mx.inverse_transform(mx.fit_transform(a)), a)
+
+
+@pytest.mark.parametrize("preset_name", ["cnn_one", "cnn_eight", "cnn_nine", "cnn_ten"])
+def test_model_forward_shapes(preset_name):
+    import jax
+
+    preset = PRESETS[preset_name]
+    model = make_model(preset_name)
+    # smallest grid compatible with the preset's stride pyramid
+    res = 48 if preset.resolution == 192 else 192
+    x = jnp.zeros((1, res, res, 10))
+    aux = (jnp.zeros((1, res, res, 2))
+           if (preset.aux_bc_at_input or preset.aux_bc_at_head) else None)
+    args = (x,) if aux is None else (x, aux)
+    params = model.init(jax.random.PRNGKey(0), *args)["params"]
+    out = model.apply({"params": params}, *args)
+    assert out.shape == (1, res, res, 1)
+
+
+def test_train_finetune_save_load_predict(small_dataset, tmp_path):
+    cfg, ds = small_dataset
+    preset_name = "cnn_one"
+    data = ml_train.prepare_inputs(ds, PRESETS[preset_name], u_lid=cfg.u_lid)
+    assert data.fnet.shape == (4, cfg.nx, cfg.ny, 10)
+
+    res = ml_train.train(preset_name, data, component="x", epochs=3,
+                         batch_size=2)
+    assert len(res.history["loss"]) == 3
+    assert np.isfinite(res.history["loss"]).all()
+
+    # fine-tune continues from the weights without blowing up
+    ft = ml_train.fine_tune(preset_name, data, res.params, component="x",
+                            epochs=2, batch_size=2)
+    assert np.isfinite(ft.history["loss"]).all()
+
+    # save / load round-trip
+    out = str(tmp_path)
+    ml_train.save_weights(res, out, scalers=data.scalers)
+    params, meta = ml_train.load_weights(
+        preset_name, "x", out, (data.fnet, data.aux))
+    assert meta["preset"] == preset_name
+
+    png = ml_train.plot_history(res.history, os.path.join(out, "h.png"))
+    assert os.path.getsize(png) > 1000
+
+    # predict both components (reuse x-params for y: shape path only)
+    fnet, aux = ml_predict.build_input(
+        preset_name, 120.0, ds.feq_initial, data.scalers, u_lid=cfg.u_lid)
+    u = ml_predict.predict_velocity(preset_name, params, params, fnet, aux,
+                                    data.scalers)
+    assert u.shape == (2, cfg.nx, cfg.ny) and np.all(np.isfinite(u))
+
+    # evaluation figure vs a quick LBM run
+    u_lbm = ml_predict.lbm_reference(cfg)
+    metrics = ml_predict.comparison_figure(
+        cfg, u_lbm, u, os.path.join(out, "cmp.png"))
+    assert os.path.exists(metrics["figure"])
+    assert "cnn_vs_lbm_l2" in metrics
