@@ -24,12 +24,17 @@ from .engine import (  # noqa: F401
     init_state,
     initial_fields,
     make_fused_step,
+    make_fused_step_omega,
     make_push_oracle_step,
     make_pull_oracle_step,
     make_scan_runner,
     observables,
     run_to_convergence,
 )
+from .sim import SimOptions, SimSummary, simulate  # noqa: F401
 from . import lattice, ops  # noqa: F401
+
+# Subpackages (parallel, kernels, ml, io, validate, viz) import lazily via
+# `from latticeboltzmannsimulations_tpu import parallel` etc.
 
 __version__ = "0.1.0"

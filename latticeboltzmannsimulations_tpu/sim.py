@@ -1,0 +1,186 @@
+"""High-level simulation driver: the reference's per-script run experience
+(time loop + per-interval dashboards/VTK/metrics + convergence + final
+summary, reference: ``MRT.py:286-619``) as one function, with the subsystems
+the reference lacks wired in: structured metrics, checkpoint/resume, blow-up
+recovery, Ghia gating, and backend selection (fused jit / Pallas / sharded).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from . import engine, viz
+from .config import SimConfig
+from .io import Checkpointer, MetricsLogger, save_to_vtk
+from .io.metrics import mlups
+from .validate import compare_to_ghia
+from .validate.ghia_data import has_reynolds
+
+
+@dataclasses.dataclass
+class SimOptions:
+    """Output & runtime switches (reference knobs ``MRT.py:33-38``)."""
+
+    out_dir: str = "output"
+    project: str = "ldc"
+    save_plots: bool = False
+    save_vtk: bool = False
+    metrics_jsonl: bool = True
+    checkpoint_every: int = 0     # steps; 0 = off
+    resume_from: Optional[str] = None
+    backend: str = "auto"         # 'auto' | 'jit' | 'pallas' | 'sharded'
+    verbose: bool = True
+
+
+@dataclasses.dataclass
+class SimSummary:
+    steps: int
+    converged: bool
+    elapsed_s: float
+    mlups: float
+    r2_ux: Optional[float]
+    l2_combined: Optional[float]
+    out_dir: str
+
+
+def _select_backend(cfg: SimConfig, opts: SimOptions):
+    """Pick the runner factory: sharded when a mesh is requested, the Pallas
+    kernel on TPU f32 single chip, fused jit otherwise."""
+    if opts.backend == "sharded" or (
+        opts.backend == "auto" and cfg.mesh_shape != (1, 1)
+    ):
+        from .parallel import (
+            make_mesh, make_sharded_scan_runner, shard_state, sharded_observables,
+        )
+
+        mesh = make_mesh(cfg.mesh_shape)
+        runner = lambda n: make_sharded_scan_runner(cfg, n, mesh)
+        obs = sharded_observables(cfg, mesh)
+        prep = lambda s: shard_state(s, mesh)
+        return runner, obs, prep, "sharded"
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if opts.backend == "pallas" or (
+        opts.backend == "auto" and on_tpu and cfg.precision == "float32"
+        and cfg.nx % 8 == 0 and cfg.nx >= 32
+    ):
+        from .kernels import pallas_pull
+
+        runner = lambda n: pallas_pull.make_scan_runner(cfg, n)
+        obs = jax.jit(lambda s: engine.observables(cfg, s))
+        return runner, obs, (lambda s: s), "pallas"
+    runner = lambda n: engine.make_scan_runner(cfg, n)
+    obs = jax.jit(lambda s: engine.observables(cfg, s))
+    return runner, obs, (lambda s: s), "jit"
+
+
+def simulate(cfg: SimConfig, opts: Optional[SimOptions] = None) -> SimSummary:
+    """Run a cavity simulation to convergence with full diagnostics."""
+    opts = opts or SimOptions()
+    cfg.validate()
+    os.makedirs(opts.out_dir, exist_ok=True)
+
+    runner_factory, obs, prep, backend = _select_backend(cfg, opts)
+    chunk = max(1, cfg.report_interval)
+    runner = runner_factory(chunk)
+
+    if opts.resume_from:
+        from .io.checkpoint import load_checkpoint
+
+        state, start_step = load_checkpoint(opts.resume_from, cfg)
+        state = prep(state)
+    else:
+        state, start_step = prep(engine.init_state(cfg)), 0
+
+    metrics = MetricsLogger(
+        os.path.join(opts.out_dir, f"{opts.project}_metrics.jsonl")
+        if opts.metrics_jsonl else None
+    )
+    ckpt = (
+        Checkpointer(os.path.join(opts.out_dir, "ckpt"), cfg,
+                     every=opts.checkpoint_every)
+        if opts.checkpoint_every else None
+    )
+
+    if opts.verbose:
+        print(f"[{backend}] {cfg.describe()}")
+
+    r2_history = []
+    mean_past, hits = np.inf, 0
+    converged = False
+    step = start_step
+    vtk_n = 0
+    t0 = time.perf_counter()
+    while step < cfg.max_steps:
+        state = runner(state)
+        step += chunk
+        rho, u = obs(state)
+        rho_h, u_h = np.asarray(rho), np.asarray(u)
+        mean_u = float(u_h.mean(dtype=np.float64))
+
+        if not np.isfinite(mean_u):
+            if ckpt is not None and ckpt.last_good:
+                if opts.verbose:
+                    print(f"blow-up at step {step}; restoring {ckpt.last_good}")
+                restored, step = ckpt.restore_last_good()
+                state = prep(restored)
+                mean_past, hits = np.inf, 0
+                continue
+            raise FloatingPointError(f"simulation diverged at step {step}")
+
+        rec = {"mean_u": mean_u, "backend": backend}
+        if has_reynolds(cfg.reynolds):
+            cmp_ = compare_to_ghia(u_h, cfg.u_lid, cfg.reynolds)
+            rec.update(r2_ux=cmp_.r2_ux, l2=cmp_.l2_combined)
+            r2_history.append((step, cmp_.r2_ux))
+        metrics.log(step, **rec)
+        if opts.verbose:
+            extra = f" R2={rec.get('r2_ux', float('nan')):.4f}" if "r2_ux" in rec else ""
+            print(f"  step {step}: mean_u={mean_u:.3e}{extra}")
+
+        if ckpt is not None:
+            ckpt(step, engine.State(f=state.f, rho_lid=state.rho_lid),
+                 rho_h, u_h)
+        if opts.save_plots:
+            viz.dashboard(cfg, rho_h, u_h, step, r2_history,
+                          out_dir=opts.out_dir, prefix=opts.project)
+        if opts.save_vtk:
+            save_to_vtk(u_h, rho_h, opts.project, vtk_n, out_dir=opts.out_dir)
+            vtk_n += 1
+
+        if abs(mean_u - mean_past) / cfg.u_lid < cfg.convergence_tol:
+            hits += 1
+            if hits > cfg.convergence_hits:
+                converged = True
+                break
+        else:
+            hits = 0
+        mean_past = mean_u
+    elapsed = time.perf_counter() - t0
+
+    rho, u = obs(state)
+    u_h = np.asarray(u)
+    r2 = l2 = None
+    if has_reynolds(cfg.reynolds):
+        cmp_ = compare_to_ghia(u_h, cfg.u_lid, cfg.reynolds)
+        r2, l2 = cmp_.r2_ux, cmp_.l2_combined
+    summary = SimSummary(
+        steps=step, converged=converged, elapsed_s=elapsed,
+        mlups=mlups(cfg.nx, cfg.ny, step - start_step, elapsed),
+        r2_ux=r2, l2_combined=l2, out_dir=opts.out_dir,
+    )
+    metrics.log(step, final=True, mlups=summary.mlups,
+                converged=converged, **({"r2_ux": r2, "l2": l2} if r2 is not None else {}))
+    metrics.close()
+    if opts.verbose:
+        print(
+            f"done: {step} steps, converged={converged}, "
+            f"{summary.mlups:.1f} MLUPS"
+            + (f", R2(ux)={r2:.4f}, L2={100 * l2:.2f}%" if r2 is not None else "")
+        )
+    return summary
