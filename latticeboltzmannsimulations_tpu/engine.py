@@ -95,7 +95,15 @@ def _collide(cfg: SimConfig, f_bc, feq, rho, omega=None):
     om0 = cfg.omega if omega is None else omega
     tau0 = cfg.tau if omega is None else 1.0 / om0
     if cfg.turbulence == "smagorinsky":
-        tau_eff = coll.smagorinsky_tau(f_bc, feq, rho, tau0, cfg.smagorinsky_cs2)
+        if cfg.van_driest:
+            # Wall-damped Cs^2 field (reference: MRT_GPU.py:372-375); the
+            # viscous length uses the lid friction scaling u_tau ~ u_lid.
+            cs2 = coll.van_driest_cs2(
+                cfg.nx, cfg.ny, cfg.u_lid / cfg.nu, dtype=f_bc.dtype
+            )
+        else:
+            cs2 = cfg.smagorinsky_cs2
+        tau_eff = coll.smagorinsky_tau(f_bc, feq, rho, tau0, cs2)
         omega_eff = 1.0 / tau_eff  # (X, Y) field
     else:
         omega_eff = om0

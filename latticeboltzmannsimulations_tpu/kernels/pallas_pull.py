@@ -177,6 +177,16 @@ def make_step(cfg: SimConfig, interpret: bool = False) -> Callable[[State], Stat
     cfg.validate()
     if cfg.precision != "float32" and not interpret:
         raise ValueError("the Pallas kernel is float32 (TPU-native precision)")
+    if cfg.boundary != "nebb":
+        raise ValueError(
+            "the Pallas kernel implements the reduced NEBB walls; use the "
+            "oracle engine for other boundary schemes"
+        )
+    if cfg.turbulence == "smagorinsky" and cfg.van_driest:
+        raise ValueError(
+            "van-Driest damping needs a global wall-distance field, which "
+            "the tiled kernel does not stage; use the fused jit engine"
+        )
     nx, ny = cfg.nx, cfg.ny
     tile_x = pick_tile_x(nx, ny)
     n_tiles = nx // tile_x

@@ -51,7 +51,36 @@ class SimSummary:
 
 def _select_backend(cfg: SimConfig, opts: SimOptions):
     """Pick the runner factory: sharded when a mesh is requested, the Pallas
-    kernel on TPU f32 single chip, fused jit otherwise."""
+    kernel on TPU f32 single chip, fused jit otherwise.  Non-NEBB boundary
+    schemes (the reference's commented bounce-back / west-equilibrium
+    experiments) run on the push-oracle engine, the only one that implements
+    them."""
+    if cfg.boundary != "nebb":
+        step = engine.make_push_oracle_step(cfg)
+
+        @jax.jit
+        def runner_n(f, n):
+            return jax.lax.fori_loop(0, n, lambda _, x: step(x), f)
+
+        def runner(n):
+            def run(state):
+                f = runner_n(state.f, n)
+                return engine.State(f=f, rho_lid=f[0, :, 0])
+
+            return run
+
+        @jax.jit
+        def obs(state):
+            from .ops.equilibrium import macroscopics
+            from .ops import boundary as bc_ops
+
+            rho, u = macroscopics(state.f)
+            lid_corners = "lid" if cfg.boundary == "nebb_west_eq" else "wall"
+            u, rho = bc_ops.override_wall_velocity(
+                u, rho, state.f, cfg.u_lid, lid_corners)
+            return rho, u
+
+        return runner, obs, (lambda s: s), "push-oracle"
     if opts.backend == "sharded" or (
         opts.backend == "auto" and cfg.mesh_shape != (1, 1)
     ):
