@@ -81,7 +81,7 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
             return rho, u
 
         return runner, obs, (lambda s: s), "push-oracle"
-    if opts.backend == "sharded" or (
+    if opts.backend in ("sharded", "sharded-pallas") or (
         opts.backend == "auto" and cfg.mesh_shape != (1, 1)
     ):
         from .parallel import (
@@ -89,10 +89,21 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
         )
 
         mesh = make_mesh(cfg.mesh_shape)
-        runner = lambda n: make_sharded_scan_runner(cfg, n, mesh)
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if opts.backend == "sharded-pallas" or (
+            opts.backend == "auto" and on_tpu and cfg.precision == "float32"
+            and cfg.boundary == "nebb" and not cfg.van_driest
+        ):
+            from .kernels.pallas_pull_sharded import make_sharded_pallas_runner
+
+            runner = lambda n: make_sharded_pallas_runner(cfg, n, mesh)
+            name = "sharded-pallas"
+        else:
+            runner = lambda n: make_sharded_scan_runner(cfg, n, mesh)
+            name = "sharded"
         obs = sharded_observables(cfg, mesh)
         prep = lambda s: shard_state(s, mesh)
-        return runner, obs, prep, "sharded"
+        return runner, obs, prep, name
     on_tpu = jax.default_backend() not in ("cpu",)
     if opts.backend == "pallas" or (
         opts.backend == "auto" and on_tpu and cfg.precision == "float32"

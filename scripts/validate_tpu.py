@@ -20,9 +20,12 @@ ART = os.path.join(os.path.dirname(__file__), "..", "docs", "artifacts")
 
 RUNS = [
     # (name, nx, Re, collision, turbulence, max_steps)
-    ("re1000_256_mrt", 256, 1000.0, "mrt", "none", 400_000),
-    ("re3200_384_mrt", 384, 3200.0, "mrt", "none", 700_000),
-    ("re5000_384_mrt_les", 384, 5000.0, "mrt", "smagorinsky", 700_000),
+    # 256^2 plateaus at L2=1.9% (discretization-limited); 512^2 passes the
+    # <1% BASELINE gate.  High-Re transients decay on the viscous timescale
+    # ~nx^2/nu, hence the multi-million-step budgets.
+    ("re1000_512_mrt", 512, 1000.0, "mrt", "none", 1_500_000),
+    ("re3200_384_mrt", 384, 3200.0, "mrt", "none", 4_000_000),
+    ("re5000_384_mrt_les", 384, 5000.0, "mrt", "smagorinsky", 1_500_000),
 ]
 
 
@@ -32,7 +35,7 @@ def main():
     for name, nx, re, coll, turb, max_steps in RUNS:
         cfg = lbt.SimConfig(
             nx=nx, ny=nx, reynolds=re, collision=coll, turbulence=turb,
-            precision="float32", max_steps=max_steps, report_interval=20_000,
+            precision="float32", max_steps=max_steps, report_interval=100_000,
         ).validate()
         t0 = time.perf_counter()
         s = simulate(cfg, SimOptions(
