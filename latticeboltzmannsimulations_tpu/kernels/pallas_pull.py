@@ -187,6 +187,12 @@ def make_step(cfg: SimConfig, interpret: bool = False) -> Callable[[State], Stat
             "van-Driest damping needs a global wall-distance field, which "
             "the tiled kernel does not stage; use the fused jit engine"
         )
+    if not interpret and cfg.ny % 128:
+        raise ValueError(
+            "the compiled kernel needs ny % 128 == 0 (lane tiling: Mosaic "
+            "cannot sublane-slice an HBM buffer with padded lanes); use the "
+            "fused jit engine for other widths"
+        )
     nx, ny = cfg.nx, cfg.ny
     tile_x = pick_tile_x(nx, ny)
     n_tiles = nx // tile_x

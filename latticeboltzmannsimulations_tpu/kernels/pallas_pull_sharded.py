@@ -44,6 +44,14 @@ def _ring(n: int, shift: int):
     return [(i, (i + shift) % n) for i in range(n)]
 
 
+def _padded_lanes(ly: int) -> int:
+    """Carried lane width: ly real lanes + 2 halo lanes, rounded up to the
+    128-lane tile so Mosaic can sublane-slice the HBM buffer (unpadded-lane
+    arrays get relayout-padded and become unsliceable).  Dead lanes beyond
+    ly+2 hold garbage that no real cell ever reads."""
+    return ((ly + 2 + 127) // 128) * 128
+
+
 def _make_local_kernel(cfg: SimConfig, lx: int, ly: int, tile_x: int,
                        interpret: bool):
     """Kernel over one shard's x-padded window.
@@ -53,7 +61,7 @@ def _make_local_kernel(cfg: SimConfig, lx: int, ly: int, tile_x: int,
     """
     u_lid = cfg.u_lid
     n_tiles = lx // tile_x
-    py = ly + 2
+    py = _padded_lanes(ly)
 
     def kernel(flags_ref, rho_lid_ref, fp_hbm, f_out_ref, rho_row_ref,
                scratch, sem):
@@ -131,7 +139,7 @@ def _make_local_kernel(cfg: SimConfig, lx: int, ly: int, tile_x: int,
 def _make_local_step(cfg: SimConfig, mesh_shape, interpret: bool):
     mx, my = mesh_shape
     lx, ly = cfg.nx // mx, cfg.ny // my
-    py = ly + 2
+    py = _padded_lanes(ly)
     tile_x = pick_tile_x(lx, py)
     n_tiles = lx // tile_x
     kernel = _make_local_kernel(cfg, lx, ly, tile_x, interpret)
@@ -220,7 +228,8 @@ def make_sharded_pallas_runner(
             (iy == 0).astype(jnp.int32),
             (iy == my - 1).astype(jnp.int32),
         ]).reshape(1, 4)
-        fy = jnp.pad(f, ((0, 0), (0, 0), (1, 1)))
+        py = _padded_lanes(ly)
+        fy = jnp.pad(f, ((0, 0), (0, 0), (1, py - ly - 1)))
 
         def body(carry, _):
             fy, rho_lid = carry

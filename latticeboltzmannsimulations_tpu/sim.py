@@ -107,7 +107,8 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
     on_tpu = jax.default_backend() not in ("cpu",)
     if opts.backend == "pallas" or (
         opts.backend == "auto" and on_tpu and cfg.precision == "float32"
-        and cfg.nx % 8 == 0 and cfg.nx >= 32
+        and cfg.nx % 8 == 0 and cfg.nx >= 32 and cfg.ny % 128 == 0
+        and not cfg.van_driest
     ):
         from .kernels import pallas_pull
 

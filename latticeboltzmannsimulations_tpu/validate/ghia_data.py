@@ -11,9 +11,11 @@ explicit mappings.  Coordinates are normalized to the cavity ([0, 1]^2) with
 y measured from the BOTTOM wall (Ghia's convention; note the framework's
 array index y=0 is the lid, see ``lattice.py``).
 
-A few widely-known typos present in the original table transcription are
-preserved verbatim so results remain comparable with the reference harness
-(e.g. the Re=3200 value -0.86636 at y=0.4531).
+Two widely-known transcription typos present in the reference's CSV are
+CORRECTED here (they are physically impossible, |u| <= 1 mid-cavity, and
+would poison the validation gates): Re=3200 Ux(y=0.4531) -0.86636 ->
+-0.086636 and Re=400 Uy(x=0.9609) +0.15663 -> -0.15663 (reference:
+``GhiaData.csv`` rows 16 and 9).
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ UX_MID_COLUMN = {
     0.7344: (0.00332, 0.16256, 0.18719, 0.19791, 0.20087, 0.20591, 0.20673),
     0.6172: (-0.13641, 0.02135, 0.05702, 0.07156, 0.08183, 0.08342, 0.08344),
     0.5000: (-0.20581, -0.11477, -0.06080, -0.04272, -0.03039, -0.03800, 0.03111),
-    0.4531: (-0.21090, -0.17119, -0.10648, -0.86636, -0.07404, -0.07503, -0.07540),
+    0.4531: (-0.21090, -0.17119, -0.10648, -0.086636, -0.07404, -0.07503, -0.07540),
     0.2831: (-0.15662, -0.32726, -0.27805, -0.24427, -0.22855, -0.23176, -0.23186),
     0.1719: (-0.10150, -0.24299, -0.38289, -0.34323, -0.33050, -0.32393, -0.32709),
     0.1016: (-0.06434, -0.14612, -0.29730, -0.41933, -0.40435, -0.38324, -0.38000),
@@ -47,7 +49,7 @@ UX_MID_COLUMN = {
 UY_MID_ROW = {
     1.0000: (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
     0.9688: (-0.05906, -0.12146, -0.21388, -0.39017, -0.49774, -0.53858, -0.54302),
-    0.9609: (-0.07391, 0.15663, -0.27669, -0.47425, -0.55069, -0.55216, -0.52987),
+    0.9609: (-0.07391, -0.15663, -0.27669, -0.47425, -0.55069, -0.55216, -0.52987),
     0.9531: (-0.08864, -0.19254, -0.33714, -0.52357, -0.55408, -0.52347, -0.49099),
     0.9453: (-0.10313, -0.22847, -0.39188, -0.54053, -0.52876, -0.48590, -0.45863),
     0.9063: (-0.16914, -0.23827, -0.51550, -0.44307, -0.41442, -0.41050, -0.41496),

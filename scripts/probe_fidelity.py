@@ -15,9 +15,9 @@ ART = os.path.join(os.path.dirname(__file__), "..", "docs", "artifacts")
 
 RUNS = [
     # name, nx, re, collision, turbulence, u_lid, max_steps
-    ("re1000_512_mrt_ma004", 512, 1000.0, "mrt", "none", 0.04, 3_000_000),
-    ("re3200_384_srt_les", 384, 3200.0, "srt", "smagorinsky", 0.08, 2_000_000),
-    ("re3200_384_mrt_les", 384, 3200.0, "mrt", "smagorinsky", 0.08, 2_000_000),
+    ("re400_192_srt", 192, 400.0, "srt", "none", 0.08, 1_500_000),
+    ("re1000_512_mrt_long", 512, 1000.0, "mrt", "none", 0.08, 8_000_000),
+    ("re10000_512_mrt_les", 512, 10000.0, "mrt", "smagorinsky", 0.08, 3_000_000),
 ]
 
 
@@ -33,7 +33,7 @@ def main():
         t0 = time.perf_counter()
         s = simulate(cfg, SimOptions(
             out_dir=os.path.join(ART, name), project=name,
-            save_plots=True, backend="pallas", verbose=True,
+            save_plots=True, backend="auto", verbose=True,
         ))
         rows.append({
             "name": name, "grid": nx, "re": re, "u_lid": ulid,

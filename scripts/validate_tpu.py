@@ -40,7 +40,7 @@ def main():
         t0 = time.perf_counter()
         s = simulate(cfg, SimOptions(
             out_dir=os.path.join(ART, name), project=name,
-            save_plots=True, backend="pallas", verbose=True,
+            save_plots=True, backend="auto", verbose=True,
         ))
         rows.append({
             "name": name, "grid": nx, "re": re, "collision": coll,

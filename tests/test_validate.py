@@ -80,3 +80,18 @@ def test_ghia_gate_trt_smagorinsky_re100():
     _, u = engine.observables(cfg, s)
     cmp = compare_to_ghia(np.asarray(u), cfg.u_lid, cfg.reynolds)
     assert cmp.r2_ux > 0.99 and cmp.r2_uy > 0.99, cmp.summary()
+
+
+def test_ghia_table_typo_corrections():
+    """The reference CSV's two physically-impossible transcription typos are
+    corrected (reference GhiaData.csv rows 16 and 9): |u| <= 1 everywhere and
+    the Re=400 mid-row Uy profile is monotonically negative near x=1."""
+    from latticeboltzmannsimulations_tpu.validate import ghia_data
+
+    for re in ghia_data.RE_VALUES:
+        _, ux = ghia_data.ux_table(re)
+        _, uy = ghia_data.uy_table(re)
+        assert abs(ux).max() <= 1.0 and abs(uy).max() <= 1.0
+    xs, uy400 = ghia_data.uy_table(400.0)
+    near_right = uy400[(xs > 0.9) & (xs < 1.0)]
+    assert (near_right < 0).all()
