@@ -108,7 +108,13 @@ def generate_dataset(
         while steps < cfg.max_steps:
             state = runner(state, omegas)
             steps += chunk
-            _, u = obs(state)
+            rho_b, u = obs(state)
+            # per-run mass renormalization (see sim.SimOptions.mass_correction)
+            scale = (1.0 / jnp.mean(rho_b, axis=(1, 2))).astype(cfg.dtype)
+            state = engine.State(
+                f=state.f * scale[:, None, None, None],
+                rho_lid=state.rho_lid * scale[:, None],
+            )
             mean_u = np.asarray(
                 jnp.mean(u, axis=(1, 2, 3), dtype=jnp.float64)
             )

@@ -36,6 +36,12 @@ class SimOptions:
     resume_from: Optional[str] = None
     backend: str = "auto"         # 'auto' | 'jit' | 'pallas' | 'sharded'
     verbose: bool = True
+    # The wet-node corner treatment (faithful to the reference kernels) leaks
+    # a little mass each step — negligible over the reference's 3000-step
+    # runs but a ~5%/10M-step density drift that biases long validation runs.
+    # This rescales f to the initial mean density every report interval
+    # (velocity is invariant under a uniform rescale of f).
+    mass_correction: bool = True
 
 
 @dataclasses.dataclass
@@ -173,6 +179,15 @@ def simulate(cfg: SimConfig, opts: Optional[SimOptions] = None) -> SimSummary:
                 mean_past, hits = np.inf, 0
                 continue
             raise FloatingPointError(f"simulation diverged at step {step}")
+
+        if opts.mass_correction:
+            scale = 1.0 / rho_h.mean(dtype=np.float64)
+            if abs(scale - 1.0) > 1e-12:
+                state = engine.State(
+                    f=state.f * cfg.dtype(scale),
+                    rho_lid=state.rho_lid * cfg.dtype(scale),
+                )
+                rho_h = rho_h * scale
 
         rec = {"mean_u": mean_u, "backend": backend}
         if has_reynolds(cfg.reynolds):
