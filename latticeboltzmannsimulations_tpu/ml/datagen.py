@@ -115,9 +115,8 @@ def generate_dataset(
                 f=state.f * scale[:, None, None, None],
                 rho_lid=state.rho_lid * scale[:, None],
             )
-            mean_u = np.asarray(
-                jnp.mean(u, axis=(1, 2, 3), dtype=jnp.float64)
-            )
+            # f64 accumulation on the host (x64 is disabled on TPU)
+            mean_u = np.asarray(jnp.mean(u, axis=(1, 2, 3))).astype(np.float64)
             if not np.all(np.isfinite(mean_u)):
                 bad = res[~np.isfinite(mean_u)]
                 raise FloatingPointError(

@@ -211,3 +211,22 @@ def make_model(preset_name: str, compute_dtype=jnp.float32) -> CavityCNN:
 def input_channels(preset: CNNPreset) -> int:
     """9 feq planes + 1 Re plane (+2 aux planes when joined at the input)."""
     return 10 + (2 if preset.aux_bc_at_input else 0)
+
+
+def stride_product(preset: CNNPreset) -> int:
+    """Total encoder downsampling factor; input H/W must be divisible by it
+    for the decoder to reconstruct the grid (same constraint the reference
+    architectures have at their 192/384 native resolutions)."""
+    p = 1
+    for _, _, s in preset.encoder:
+        p *= s
+    return p
+
+
+def check_grid(preset: CNNPreset, h: int, w: int) -> None:
+    sp = stride_product(preset)
+    if h % sp or w % sp:
+        raise ValueError(
+            f"{preset.name} downsamples by {sp}; grid {h}x{w} must be a "
+            f"multiple of it (native resolution {preset.resolution})"
+        )

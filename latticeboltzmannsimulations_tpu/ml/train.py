@@ -135,6 +135,9 @@ def train(
     capability, reference: ``CNN_test.py:100-106``)."""
     preset = PRESETS[preset_name]
     model = make_model(preset_name)
+    from .models import check_grid
+
+    check_grid(preset, data.fnet.shape[1], data.fnet.shape[2])
     epochs = preset.epochs if epochs is None else epochs
     batch_size = preset.batch_size if batch_size is None else batch_size
 

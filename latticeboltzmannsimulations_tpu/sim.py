@@ -162,6 +162,7 @@ def simulate(cfg: SimConfig, opts: Optional[SimOptions] = None) -> SimSummary:
     converged = False
     step = start_step
     vtk_n = 0
+    restores = 0
     t0 = time.perf_counter()
     while step < cfg.max_steps:
         state = runner(state)
@@ -171,7 +172,11 @@ def simulate(cfg: SimConfig, opts: Optional[SimOptions] = None) -> SimSummary:
         mean_u = float(u_h.mean(dtype=np.float64))
 
         if not np.isfinite(mean_u):
-            if ckpt is not None and ckpt.last_good:
+            # One restore gives transient blow-ups (bad resume file, cosmic
+            # ray, preempted write) a second chance; identical dynamics that
+            # diverge deterministically must not loop forever.
+            if ckpt is not None and ckpt.last_good and restores < 1:
+                restores += 1
                 if opts.verbose:
                     print(f"blow-up at step {step}; restoring {ckpt.last_good}")
                 restored, step = ckpt.restore_last_good()

@@ -29,8 +29,9 @@ def main():
     t0 = time.perf_counter()
 
     # --- datagen: 48 cavities, Re 100..5000, one vmapped batch sweep -------
+    # 192^2: cnn_eight's native stride pyramid divides 192 (models.check_grid)
     cfg = SimConfig(
-        nx=128, ny=128, reynolds=100.0, collision="srt",
+        nx=192, ny=192, reynolds=100.0, collision="srt",
         turbulence="smagorinsky", precision="float32",
         max_steps=120_000, report_interval=5_000,
         convergence_tol=1e-7, convergence_hits=3,
@@ -47,7 +48,7 @@ def main():
     results = {}
     for comp in ("x", "y"):
         res = ml_train.train("cnn_eight", data, component=comp,
-                             epochs=60, batch_size=8, verbose=False)
+                             epochs=500, batch_size=8, verbose=False)
         ml_train.save_weights(res, OUT, scalers=data.scalers)
         ml_train.plot_history(
             res.history, os.path.join(OUT, f"cnn_eight_{comp}_loss.png"))
@@ -62,7 +63,7 @@ def main():
     u_cnn = ml_predict.predict_velocity(
         "cnn_eight", results["x"].params, results["y"].params,
         fnet, aux, data.scalers)
-    cfg_ref = SimConfig(nx=128, ny=128, reynolds=re_test, collision="srt",
+    cfg_ref = SimConfig(nx=192, ny=192, reynolds=re_test, collision="srt",
                         turbulence="smagorinsky", precision="float32",
                         max_steps=200_000, report_interval=10_000).validate()
     u_lbm = ml_predict.lbm_reference(cfg_ref)

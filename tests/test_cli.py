@@ -55,3 +55,16 @@ def test_simulate_sharded_backend(tmp_path):
     s = simulate(cfg, SimOptions(out_dir=str(tmp_path), verbose=False,
                                  metrics_jsonl=False))
     assert s.steps == 100 and np.isfinite(s.mlups)
+
+
+def test_simulate_divergence_capped_restores(tmp_path):
+    """An unstable config diverges deterministically: the driver restores the
+    last good checkpoint once, then raises instead of looping forever."""
+    # omega close to 2 -> unstable at this Re/grid
+    cfg = SimConfig(nx=32, ny=32, reynolds=200000.0, collision="srt",
+                    max_steps=100000, report_interval=500,
+                    precision="float32", convergence_tol=0.0)
+    with pytest.raises(FloatingPointError):
+        simulate(cfg, SimOptions(out_dir=str(tmp_path), verbose=False,
+                                 metrics_jsonl=False, checkpoint_every=500,
+                                 backend="jit"))

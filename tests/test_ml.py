@@ -131,3 +131,16 @@ def test_train_finetune_save_load_predict(small_dataset, tmp_path):
         cfg, u_lbm, u, os.path.join(out, "cmp.png"))
     assert os.path.exists(metrics["figure"])
     assert "cnn_vs_lbm_l2" in metrics
+
+
+def test_check_grid_constraint():
+    from latticeboltzmannsimulations_tpu.ml.models import (
+        PRESETS, check_grid, stride_product,
+    )
+
+    assert stride_product(PRESETS["cnn_one"]) == 48
+    assert stride_product(PRESETS["cnn_eight"]) == 192
+    check_grid(PRESETS["cnn_eight"], 384, 384)
+    check_grid(PRESETS["cnn_eight"], 192, 192)
+    with pytest.raises(ValueError):
+        check_grid(PRESETS["cnn_eight"], 128, 128)
