@@ -42,6 +42,9 @@ class SimOptions:
     # This rescales f to the initial mean density every report interval
     # (velocity is invariant under a uniform rescale of f).
     mass_correction: bool = True
+    # Write a jax.profiler trace of the first compute chunk here (viewable
+    # in Perfetto / TensorBoard); None = off.
+    profile_dir: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -165,7 +168,12 @@ def simulate(cfg: SimConfig, opts: Optional[SimOptions] = None) -> SimSummary:
     restores = 0
     t0 = time.perf_counter()
     while step < cfg.max_steps:
-        state = runner(state)
+        if opts.profile_dir is not None and step == start_step:
+            with jax.profiler.trace(opts.profile_dir):
+                state = runner(state)
+                jax.block_until_ready(state.f)
+        else:
+            state = runner(state)
         step += chunk
         rho, u = obs(state)
         rho_h, u_h = np.asarray(rho), np.asarray(u)

@@ -68,3 +68,13 @@ def test_simulate_divergence_capped_restores(tmp_path):
         simulate(cfg, SimOptions(out_dir=str(tmp_path), verbose=False,
                                  metrics_jsonl=False, checkpoint_every=500,
                                  backend="jit"))
+
+
+def test_simulate_profile_trace(tmp_path):
+    cfg = SimConfig(nx=32, ny=32, reynolds=100.0, max_steps=100,
+                    report_interval=50, precision="float32")
+    prof = str(tmp_path / "prof")
+    simulate(cfg, SimOptions(out_dir=str(tmp_path), verbose=False,
+                             metrics_jsonl=False, backend="jit",
+                             profile_dir=prof))
+    assert os.path.isdir(prof) and os.listdir(prof)
