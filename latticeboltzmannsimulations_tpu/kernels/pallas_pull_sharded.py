@@ -35,7 +35,7 @@ from .. import lattice
 from ..config import SimConfig
 from ..engine import State, _collide
 from ..ops.equilibrium import equilibrium, lid_row_density, macroscopics
-from .pallas_pull import _lane_roll, pick_tile_x
+from .pallas_pull import _compiler_params, _lane_roll, pick_tile_x
 
 _SPECS_STATE = (P(None, "mx", "my"), P("mx"))
 
@@ -174,6 +174,7 @@ def _make_local_step(cfg: SimConfig, mesh_shape, interpret: bool):
                 bytes_accessed=2 * 9 * lx * py * 4,
                 transcendentals=0,
             ),
+            compiler_params=_compiler_params(lx, py),
             interpret=interpret,
         )(flags, rho_lid, fp)
 

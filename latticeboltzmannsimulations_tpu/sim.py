@@ -74,6 +74,8 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
         def runner(n):
             def run(state):
                 f = runner_n(state.f, n)
+                # the push engines carry no lid-density memory; fill the
+                # State slot with a placeholder (never read on this path)
                 return engine.State(f=f, rho_lid=f[0, :, 0])
 
             return run
@@ -171,7 +173,9 @@ def simulate(cfg: SimConfig, opts: Optional[SimOptions] = None) -> SimSummary:
         if opts.profile_dir is not None and step == start_step:
             with jax.profiler.trace(opts.profile_dir):
                 state = runner(state)
-                jax.block_until_ready(state.f)
+                # scalar fetch: block_until_ready does not block over the
+                # axon TPU relay, and the trace must span real execution
+                np.asarray(state.f[0, 0, 0])
         else:
             state = runner(state)
         step += chunk
