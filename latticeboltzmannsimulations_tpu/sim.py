@@ -116,15 +116,26 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
         prep = lambda s: shard_state(s, mesh)
         return runner, obs, prep, name
     on_tpu = jax.default_backend() not in ("cpu",)
-    if opts.backend == "pallas" or (
+    if opts.backend in ("pallas", "pallas-tblock") or (
         opts.backend == "auto" and on_tpu and cfg.precision == "float32"
         and cfg.nx % 8 == 0 and cfg.nx >= 32 and cfg.ny % 128 == 0
         and not cfg.van_driest
     ):
         from .kernels import pallas_pull
 
-        runner = lambda n: pallas_pull.make_scan_runner(cfg, n)
         obs = jax.jit(lambda s: engine.observables(cfg, s))
+        # Large (HBM-bound) fields run K steps per VMEM window (temporal
+        # blocking, ~3x); small fields ride the VMEM-residency fast path.
+        big = not pallas_pull._is_small_field(cfg.nx, cfg.ny)
+        if opts.backend == "pallas-tblock" or (
+            opts.backend != "pallas" and big and cfg.nx >= 256
+        ):
+            from .kernels import pallas_pull_tblock
+
+            runner = lambda n: pallas_pull_tblock.make_scan_runner(
+                cfg, n, k_steps=16)
+            return runner, obs, (lambda s: s), "pallas-tblock"
+        runner = lambda n: pallas_pull.make_scan_runner(cfg, n)
         return runner, obs, (lambda s: s), "pallas"
     runner = lambda n: engine.make_scan_runner(cfg, n)
     obs = jax.jit(lambda s: engine.observables(cfg, s))
