@@ -5,7 +5,7 @@ Capability parity with the reference's ``VTKWrapper.saveToVTK`` + vendored
 plus the checkpoint/resume and metrics subsystems the reference lacks
 (SURVEY.md §5)."""
 
-from .vtk import save_to_vtk, write_vtr
+from .vtk import save_to_vtk, write_vtr, write_vti, write_vtp_points
 from .checkpoint import (
     Checkpointer,
     load_checkpoint,
@@ -16,6 +16,8 @@ from .metrics import MetricsLogger
 __all__ = [
     "save_to_vtk",
     "write_vtr",
+    "write_vti",
+    "write_vtp_points",
     "Checkpointer",
     "save_checkpoint",
     "load_checkpoint",

@@ -113,6 +113,127 @@ def write_vtr(
     return path
 
 
+def write_vti(
+    path: str,
+    cell_data: Dict[str, np.ndarray],
+    spacing: Tuple[float, float] = (1.0, 1.0),
+    origin: Tuple[float, float] = (0.0, 0.0),
+) -> str:
+    """Uniform-grid ImageData (.vti) writer — the capability of the vendored
+    pyevtk's ``imageToVTK`` (reference: ``pyevtk/hl.py:73-119``)."""
+    first = next(iter(cell_data.values()))
+    nx, ny = (first.shape[-2], first.shape[-1])
+    if not path.endswith(".vti"):
+        path = path + ".vti"
+
+    blobs, offsets, arrays = [], [], []
+    off = 0
+    for name, arr in cell_data.items():
+        arr = np.asarray(arr)
+        ncomp = arr.shape[0] if arr.ndim == 3 else 1
+        flat = _flatten_cellwise(arr)
+        raw = np.ascontiguousarray(flat).tobytes()
+        blobs.append(struct.pack("<I", len(raw)) + raw)
+        arrays.append((name, ncomp, _VTK_TYPES[flat.dtype], off))
+        off += 4 + len(raw)
+
+    extent = f"0 {nx} 0 {ny} 0 0"
+    lines = [
+        '<?xml version="1.0"?>',
+        '<VTKFile type="ImageData" version="1.0" '
+        'byte_order="LittleEndian" header_type="UInt32">',
+        f'  <ImageData WholeExtent="{extent}" '
+        f'Origin="{origin[0]} {origin[1]} 0" '
+        f'Spacing="{spacing[0]} {spacing[1]} 1">',
+        f'    <Piece Extent="{extent}">',
+        "      <CellData>",
+    ]
+    for name, ncomp, vtype, o in arrays:
+        lines.append(
+            f'        <DataArray type="{vtype}" Name="{name}" '
+            f'NumberOfComponents="{ncomp}" format="appended" offset="{o}"/>'
+        )
+    lines += [
+        "      </CellData>",
+        "    </Piece>",
+        "  </ImageData>",
+        '  <AppendedData encoding="raw">',
+    ]
+    with open(path, "wb") as fh:
+        fh.write(("\n".join(lines) + "\n_").encode())
+        for b in blobs:
+            fh.write(b)
+        fh.write("\n  </AppendedData>\n</VTKFile>\n".encode())
+    return path
+
+
+def write_vtp_points(
+    path: str,
+    x: np.ndarray,
+    y: np.ndarray,
+    point_data: Dict[str, np.ndarray],
+    z: np.ndarray | None = None,
+) -> str:
+    """Scattered-points PolyData (.vtp) writer — the capability of the
+    vendored pyevtk's ``pointsToVTK`` (reference: ``pyevtk/hl.py:196-244``);
+    used for exporting detected vortex centers and probe locations."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.zeros_like(x) if z is None else np.asarray(z, np.float64)
+    n = len(x)
+    pts = np.stack([x, y, z], axis=-1).ravel()
+    if not path.endswith(".vtp"):
+        path = path + ".vtp"
+
+    blobs, offsets = [], {}
+    off = 0
+    def append(key, a):
+        nonlocal off
+        raw = np.ascontiguousarray(a).tobytes()
+        blobs.append(struct.pack("<I", len(raw)) + raw)
+        offsets[key] = off
+        off += 4 + len(raw)
+
+    append("points", pts)
+    names = []
+    for name, arr in point_data.items():
+        arr = np.asarray(arr)
+        names.append((name, _VTK_TYPES[arr.dtype]))
+        append(name, arr)
+
+    lines = [
+        '<?xml version="1.0"?>',
+        '<VTKFile type="PolyData" version="1.0" '
+        'byte_order="LittleEndian" header_type="UInt32">',
+        "  <PolyData>",
+        f'    <Piece NumberOfPoints="{n}" NumberOfVerts="0" NumberOfLines="0" '
+        'NumberOfStrips="0" NumberOfPolys="0">',
+        "      <Points>",
+        f'        <DataArray type="Float64" NumberOfComponents="3" '
+        f'format="appended" offset="{offsets["points"]}"/>',
+        "      </Points>",
+        "      <PointData>",
+    ]
+    for name, vtype in names:
+        lines.append(
+            f'        <DataArray type="{vtype}" Name="{name}" '
+            f'NumberOfComponents="1" format="appended" '
+            f'offset="{offsets[name]}"/>'
+        )
+    lines += [
+        "      </PointData>",
+        "    </Piece>",
+        "  </PolyData>",
+        '  <AppendedData encoding="raw">',
+    ]
+    with open(path, "wb") as fh:
+        fh.write(("\n".join(lines) + "\n_").encode())
+        for b in blobs:
+            fh.write(b)
+        fh.write("\n  </AppendedData>\n</VTKFile>\n".encode())
+    return path
+
+
 def save_to_vtk(
     velocity: np.ndarray,
     rho: np.ndarray,

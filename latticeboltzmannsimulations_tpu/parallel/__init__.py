@@ -4,6 +4,7 @@ SURVEY.md §2.7: largest reference run is 640² on one device,
 TPU device mesh with explicit one-cell halo exchange over ICI."""
 
 from .mesh import make_mesh, lattice_sharding
+from . import multihost
 from .halo import (
     exchange_halo,
     make_sharded_fused_step,
@@ -14,6 +15,7 @@ from .halo import (
 
 __all__ = [
     "make_mesh",
+    "multihost",
     "lattice_sharding",
     "exchange_halo",
     "make_sharded_fused_step",

@@ -124,3 +124,22 @@ def test_dashboard_renders(tmp_path):
                         r2_history=[(100, 0.5), (200, 0.8)],
                         out_dir=str(tmp_path))
     assert os.path.exists(png) and os.path.getsize(png) > 10000
+
+
+def test_write_vti_and_vtp(tmp_path):
+    from latticeboltzmannsimulations_tpu.io import write_vti, write_vtp_points
+
+    rho = np.arange(12, dtype=np.float32).reshape(4, 3)
+    p = write_vti(str(tmp_path / "img"), {"pressure": rho}, spacing=(0.5, 0.5))
+    blob = open(p, "rb").read()
+    assert b'<VTKFile type="ImageData"' in blob
+    data = blob.split(b'encoding="raw">', 1)[1].split(b"_", 1)[1]
+    n = struct.unpack_from("<I", data, 0)[0]
+    vals = np.frombuffer(data[4 : 4 + n], dtype="<f4")
+    np.testing.assert_array_equal(vals.reshape(3, 4).T, rho)
+
+    p2 = write_vtp_points(
+        str(tmp_path / "pts"), np.array([0.1, 0.9]), np.array([0.2, 0.8]),
+        {"speed": np.array([1.0, 2.0])})
+    blob = open(p2, "rb").read()
+    assert b'<VTKFile type="PolyData"' in blob and b'NumberOfPoints="2"' in blob
