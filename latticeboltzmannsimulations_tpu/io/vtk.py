@@ -126,7 +126,7 @@ def write_vti(
     if not path.endswith(".vti"):
         path = path + ".vti"
 
-    blobs, offsets, arrays = [], [], []
+    blobs, arrays = [], []
     off = 0
     for name, arr in cell_data.items():
         arr = np.asarray(arr)

@@ -164,6 +164,8 @@ def make_block_step(cfg: SimConfig, k_steps: int = 8,
                     interpret: bool = False) -> Callable[[State], State]:
     """Advance the state by ``k_steps`` in ONE kernel dispatch."""
     cfg.validate()
+    if cfg.precision != "float32" and not interpret:
+        raise ValueError("the Pallas kernels are float32 (TPU-native precision)")
     if cfg.boundary != "nebb":
         raise ValueError("temporal blocking implements the reduced NEBB walls")
     if cfg.turbulence == "smagorinsky" and cfg.van_driest:
@@ -171,7 +173,11 @@ def make_block_step(cfg: SimConfig, k_steps: int = 8,
     if not interpret and cfg.ny % 128:
         raise ValueError("compiled kernel needs ny % 128 == 0")
     nx, ny = cfg.nx, cfg.ny
+    if nx % 8:
+        raise ValueError(f"temporal blocking needs nx % 8 == 0, got {nx}")
     tile_x, kp = pick_block(nx, ny, k_steps)
+    if nx % tile_x:
+        raise ValueError(f"nx={nx} is not a multiple of the tile ({tile_x})")
     if k_steps > kp:
         raise ValueError(f"k_steps={k_steps} exceeds the K'={kp} halo depth")
     if nx < tile_x + 2 * kp:

@@ -116,7 +116,7 @@ def generate_dataset(
                 rho_lid=state.rho_lid * scale[:, None],
             )
             # f64 accumulation on the host (x64 is disabled on TPU)
-            mean_u = np.asarray(jnp.mean(u, axis=(1, 2, 3))).astype(np.float64)
+            mean_u = np.asarray(u).mean(axis=(1, 2, 3), dtype=np.float64)
             if not np.all(np.isfinite(mean_u)):
                 bad = res[~np.isfinite(mean_u)]
                 raise FloatingPointError(

@@ -34,7 +34,10 @@ class SimOptions:
     metrics_jsonl: bool = True
     checkpoint_every: int = 0     # steps; 0 = off
     resume_from: Optional[str] = None
-    backend: str = "auto"         # 'auto' | 'jit' | 'pallas' | 'sharded'
+    # 'auto' | 'jit' | 'pallas' | 'pallas-tblock' | 'sharded' |
+    # 'sharded-pallas'  (auto picks per hardware/config; unknown values fall
+    # back to the jit engine)
+    backend: str = "auto"
     verbose: bool = True
     # The wet-node corner treatment (faithful to the reference kernels) leaks
     # a little mass each step — negligible over the reference's 3000-step

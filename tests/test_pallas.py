@@ -74,3 +74,17 @@ def test_pick_tile_x_constraints():
     assert pallas_pull.pick_tile_x(64, 64) == 32
     with pytest.raises(ValueError):
         pallas_pull.pick_tile_x(20, 64)
+
+
+def test_kernel_double_buffered_path(monkeypatch):
+    """Force the HBM-bound configuration (n_buf=2 window prefetch +
+    raised vmem limit) and pin it to the fused engine bit-for-bit."""
+    monkeypatch.setattr(pallas_pull, "_is_small_field", lambda nx, ny: False)
+    cfg = _cfg(collision="mrt")
+    ref_step = jax.jit(engine.make_fused_step(cfg))
+    pk_step = pallas_pull.make_step(cfg, interpret=True)
+    s_ref = s_pk = engine.init_state(cfg)
+    for _ in range(8):
+        s_ref = ref_step(s_ref)
+        s_pk = pk_step(s_pk)
+    np.testing.assert_array_equal(np.asarray(s_pk.f), np.asarray(s_ref.f))
