@@ -83,14 +83,17 @@ class GhiaComparison:
 
 
 def compare_to_ghia(
-    u: np.ndarray, u_lid: float, reynolds: float, interior_only: bool = True
+    u: np.ndarray, u_lid: float, reynolds: float, interior_only: bool = True,
+    exclude_suspect: bool = True,
 ) -> GhiaComparison:
     """Sample the simulated centerlines at the Ghia stations (linear
     interpolation) and score them.
 
     ``interior_only`` drops the wall stations (y=0, y=1 / x=0, x=1) whose
     values are fixed by the boundary conditions, as the reference does by
-    slicing off the wall row (``MRT.py:120``).
+    slicing off the wall row (``MRT.py:120``).  ``exclude_suspect`` drops
+    the stations flagged in ``ghia_data.SUSPECT_STATIONS`` (values
+    inconsistent with any smooth profile; see that table's note).
     """
     ys, ux_g = ghia_data.ux_table(reynolds)
     xs, uy_g = ghia_data.uy_table(reynolds)
@@ -98,6 +101,13 @@ def compare_to_ghia(
         keep_y = (ys > 0.0) & (ys < 1.0)
         ys, ux_g = ys[keep_y], ux_g[keep_y]
         keep_x = (xs > 0.0) & (xs < 1.0)
+        xs, uy_g = xs[keep_x], uy_g[keep_x]
+    if exclude_suspect:
+        keep_y = np.array(
+            [not ghia_data.is_suspect(reynolds, "ux", y) for y in ys])
+        ys, ux_g = ys[keep_y], ux_g[keep_y]
+        keep_x = np.array(
+            [not ghia_data.is_suspect(reynolds, "uy", x) for x in xs])
         xs, uy_g = xs[keep_x], uy_g[keep_x]
 
     (y_sim, ux_sim), (x_sim, uy_sim) = centerline_profiles(u, u_lid)

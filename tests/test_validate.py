@@ -95,3 +95,13 @@ def test_ghia_table_typo_corrections():
     xs, uy400 = ghia_data.uy_table(400.0)
     near_right = uy400[(xs > 0.9) & (xs < 1.0)]
     assert (near_right < 0).all()
+
+
+def test_suspect_station_excluded():
+    from latticeboltzmannsimulations_tpu.validate.ghia import compare_to_ghia
+
+    u = np.zeros((2, 64, 64), np.float32)
+    full = compare_to_ghia(u, 0.08, 400.0, exclude_suspect=False)
+    gated = compare_to_ghia(u, 0.08, 400.0)
+    assert len(gated.x_stations) == len(full.x_stations) - 1
+    assert 0.9063 not in gated.x_stations
