@@ -107,12 +107,18 @@ def _lane_roll(plane: jnp.ndarray, shift: int, interpret: bool) -> jnp.ndarray:
 
 
 def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
-                 n_buf: int = 2):
+                 n_buf: int = 2, traced_omega: bool = False):
     nx, ny = cfg.nx, cfg.ny
     u_lid = cfg.u_lid
     n_tiles = nx // tile_x
 
-    def kernel(rho_lid_ref, f_hbm, f_out_ref, rho_lid_out_ref, scratch, sem):
+    def kernel(*refs):
+        if traced_omega:
+            (omega_ref, rho_lid_ref, f_hbm,
+             f_out_ref, rho_lid_out_ref, scratch, sem) = refs
+        else:
+            (rho_lid_ref, f_hbm,
+             f_out_ref, rho_lid_out_ref, scratch, sem) = refs
         i = pl.program_id(0)
         first = i == 0
         last = i == n_tiles - 1
@@ -219,7 +225,8 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
 
         # --- equilibrium + collision (shared ops code) ---------------------
         feq = equilibrium(rho, u)
-        f_new = _collide(cfg, g, feq, rho)
+        omega = omega_ref[0, 0] if traced_omega else None
+        f_new = _collide(cfg, g, feq, rho, omega=omega)
 
         f_out_ref[:, :, :] = f_new
         rho_lid_out_ref[:, 0] = rho[:, 0]
@@ -227,9 +234,15 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
     return kernel
 
 
-def make_step(cfg: SimConfig, interpret: bool = False) -> Callable[[State], State]:
+def make_step(cfg: SimConfig, interpret: bool = False,
+              traced_omega: bool = False) -> Callable[..., State]:
     """One fused Pallas collide-and-stream step, same trajectory as
-    ``engine.make_fused_step`` (asserted by tests)."""
+    ``engine.make_fused_step`` (asserted by tests).
+
+    With ``traced_omega=True`` the step takes ``(state, omega)`` — the shear
+    relaxation rate rides in as an SMEM scalar, so ONE compiled kernel serves
+    a whole Reynolds sweep (the Pallas analogue of
+    ``engine.make_fused_step_omega``; used by ``ml/datagen.py``)."""
     cfg.validate()
     if cfg.precision != "float32" and not interpret:
         raise ValueError("the Pallas kernel is float32 (TPU-native precision)")
@@ -253,21 +266,28 @@ def make_step(cfg: SimConfig, interpret: bool = False) -> Callable[[State], Stat
     tile_x = pick_tile_x(nx, ny)
     n_tiles = nx // tile_x
     n_buf = 1 if _is_small_field(nx, ny) else 2
-    kernel = _make_kernel(cfg, tile_x, interpret, n_buf=n_buf)
+    kernel = _make_kernel(cfg, tile_x, interpret, n_buf=n_buf,
+                          traced_omega=traced_omega)
 
-    def step(state: State) -> State:
+    def step(state: State, omega=None) -> State:
         f = state.f
         rho_lid = state.rho_lid.reshape(nx, 1)
+        in_specs = [
+            # (nx, 1) column layout: the tiled dim rides the sublanes so
+            # the block obeys the (8, 128) tiling rule at any tile size.
+            pl.BlockSpec((tile_x, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # f stays in HBM
+        ]
+        args = [rho_lid, f]
+        if traced_omega:
+            in_specs.insert(0, pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                            memory_space=pltpu.SMEM))
+            args.insert(0, jnp.asarray(omega, f.dtype).reshape(1, 1))
         f_new, rho_lid_new = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
-            in_specs=[
-                # (nx, 1) column layout: the tiled dim rides the sublanes so
-                # the block obeys the (8, 128) tiling rule at any tile size.
-                pl.BlockSpec((tile_x, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # f stays in HBM
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((lattice.Q, tile_x, ny), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
@@ -289,7 +309,7 @@ def make_step(cfg: SimConfig, interpret: bool = False) -> Callable[[State], Stat
             ),
             compiler_params=_compiler_params(nx, ny),
             interpret=interpret,
-        )(rho_lid, f)
+        )(*args)
         return State(f=f_new, rho_lid=rho_lid_new.reshape(nx))
 
     return step
@@ -305,6 +325,23 @@ def make_scan_runner(cfg: SimConfig, n_steps: int, interpret: bool = False):
     def run(state: State) -> State:
         def body(s, _):
             return step(s), None
+
+        state, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return state
+
+    return run
+
+
+def make_scan_runner_omega(cfg: SimConfig, n_steps: int,
+                           interpret: bool = False):
+    """Scan runner with omega as a traced argument: one compiled kernel for
+    every Reynolds number of a sweep."""
+    step = make_step(cfg, interpret=interpret, traced_omega=True)
+
+    @jax.jit
+    def run(state: State, omega) -> State:
+        def body(s, _):
+            return step(s, omega), None
 
         state, _ = jax.lax.scan(body, state, None, length=n_steps)
         return state

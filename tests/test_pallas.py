@@ -88,3 +88,22 @@ def test_kernel_double_buffered_path(monkeypatch):
         s_ref = ref_step(s_ref)
         s_pk = pk_step(s_pk)
     np.testing.assert_array_equal(np.asarray(s_pk.f), np.asarray(s_ref.f))
+
+
+def test_traced_omega_kernel_matches_engine():
+    """make_step(traced_omega=True) == engine.make_fused_step_omega,
+    bit-for-bit, across two different Reynolds numbers with ONE kernel."""
+    import jax.numpy as jnp
+
+    cfg = _cfg(collision="srt")
+    step_ref = jax.jit(engine.make_fused_step_omega(cfg))
+    step_pk = pallas_pull.make_step(cfg, interpret=True, traced_omega=True)
+    for re in (150.0, 900.0):
+        import dataclasses
+        omega = jnp.asarray(
+            dataclasses.replace(cfg, reynolds=re).omega, jnp.float32)
+        s_ref = s_pk = engine.init_state(cfg)
+        for _ in range(6):
+            s_ref = step_ref(s_ref, omega)
+            s_pk = step_pk(s_pk, omega)
+        np.testing.assert_array_equal(np.asarray(s_pk.f), np.asarray(s_ref.f))
