@@ -177,7 +177,8 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--max-steps", type=int, default=3_000_000)
     p.add_argument("--interval", type=int, default=2000)
-    p.add_argument("--smagorinsky", action="store_true", default=True)
+    p.add_argument("--smagorinsky", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.set_defaults(fn=cmd_datagen)
 
     p = sub.add_parser("train", help="train CNN surrogate(s)")

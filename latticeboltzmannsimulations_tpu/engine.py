@@ -84,18 +84,25 @@ def init_pull_oracle_state(cfg: SimConfig) -> PullOracleState:
 # Collision dispatch (shared by all engines)
 # ---------------------------------------------------------------------------
 
-def _collide(cfg: SimConfig, f_bc, feq, rho, omega=None):
+def _collide(cfg: SimConfig, f_bc, feq, rho, omega=None, cs2_field=None):
     """Apply the configured collision operator, optionally with the
     Smagorinsky effective relaxation time.
 
     ``omega`` overrides the config-derived shear relaxation rate; it may be a
     *traced* scalar, which lets one compiled step serve a whole Reynolds
     sweep (``ml/datagen.py`` vmaps over it).
+
+    ``cs2_field`` overrides the Van Driest Cs^2 plane with a precomputed one
+    (callers with non-global field shapes — per-shard blocks under
+    ``shard_map`` — must pass their own slice; see
+    ``ops.collision.van_driest_cs2_block``).
     """
     om0 = cfg.omega if omega is None else omega
     tau0 = cfg.tau if omega is None else 1.0 / om0
     if cfg.turbulence == "smagorinsky":
-        if cfg.van_driest:
+        if cs2_field is not None:
+            cs2 = cs2_field
+        elif cfg.van_driest:
             # Wall-damped Cs^2 field (reference: MRT_GPU.py:372-375); the
             # viscous length uses the lid friction scaling u_tau ~ u_lid.
             cs2 = coll.van_driest_cs2(

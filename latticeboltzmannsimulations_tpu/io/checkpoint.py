@@ -75,10 +75,19 @@ class Checkpointer:
         self.keep = keep
         self._saved: list[str] = []
         self.last_good: Optional[str] = None
+        self._last_saved_step: Optional[int] = None
 
     def __call__(self, step: int, state: State, rho, u) -> None:
-        if self.every and step % self.every:
-            return
+        # The caller only invokes this at report-interval multiples, so an
+        # exact ``step % every`` test can silently never fire when ``every``
+        # is not a multiple of the report interval.  Save whenever at least
+        # ``every`` steps have elapsed since the last save instead.
+        if self.every:
+            since = (step if self._last_saved_step is None
+                     else step - self._last_saved_step)
+            if since < self.every:
+                return
+        self._last_saved_step = step
         path = os.path.join(self.directory, f"ckpt_{step:08d}.npz")
         save_checkpoint(path, state, step, self.cfg)
         if bool(np.isfinite(np.asarray(u)).all()):

@@ -77,8 +77,10 @@ void collide_cell(const Params& p, const float g[9], float rho, float ux,
       break;
     }
     case TRT: {
+      // omega^- derives from the *base* tau (the magic-parameter closure in
+      // engine._collide uses tau0, not the LES-modified effective tau).
       const float omega_minus =
-          1.0f / (0.5f + p.trt_magic / (1.0f / omega - 0.5f));
+          1.0f / (0.5f + p.trt_magic / (tau0 - 0.5f));
       for (int k = 0; k < 9; ++k) {
         const int kb = OPP[k];
         const float fp = 0.5f * (g[k] + g[kb]), fm = 0.5f * (g[k] - g[kb]);

@@ -190,3 +190,31 @@ def van_driest_cs2(
     z_plus = dist * visc_inv
     cs = cs_bulk * (1.0 - jnp.exp(-z_plus / 26.0))
     return cs * cs
+
+
+def van_driest_cs2_block(
+    nx: int,
+    ny: int,
+    x0,
+    y0,
+    lx: int,
+    ly: int,
+    visc_inv,
+    cs_bulk: float = 0.16,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Per-shard slice of the Van Driest Cs^2 field.
+
+    Builds the ``(lx, ly)`` block whose global origin is ``(x0, y0)`` (traced
+    scalars are fine — ``jax.lax.axis_index`` offsets inside ``shard_map``),
+    using the *global* wall distances so a sharded run matches the
+    single-chip ``van_driest_cs2(nx, ny, ...)`` field exactly.
+    """
+    x = (jnp.asarray(x0, dtype) + jnp.arange(lx, dtype=dtype))[:, None]
+    y = (jnp.asarray(y0, dtype) + jnp.arange(ly, dtype=dtype))[None, :]
+    dist = jnp.minimum(
+        jnp.minimum(x, (nx - 1) - x), jnp.minimum(y, (ny - 1) - y)
+    )
+    z_plus = dist * visc_inv
+    cs = cs_bulk * (1.0 - jnp.exp(-z_plus / 26.0))
+    return cs * cs

@@ -34,6 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .. import lattice
 from ..config import SimConfig
 from ..engine import State, _collide, init_state
+from ..ops.collision import van_driest_cs2_block
 from ..ops.equilibrium import equilibrium, lid_row_density, macroscopics
 from .mesh import lattice_sharding, row_sharding
 
@@ -155,7 +156,18 @@ def _local_step(cfg: SimConfig, f, rho_lid):
     g = _local_gather_bc(cfg, f, rho_lid)
     rho, u = _local_macros(cfg, g)
     feq = equilibrium(rho, u)
-    f_new = _collide(cfg, g, feq, rho)
+    cs2 = None
+    if cfg.turbulence == "smagorinsky" and cfg.van_driest:
+        # Per-shard slice of the global Van Driest Cs^2 plane: wall distances
+        # are global, so offset by this shard's mesh coordinates.
+        mx, my = cfg.mesh_shape
+        lx, ly = cfg.nx // mx, cfg.ny // my
+        cs2 = van_driest_cs2_block(
+            cfg.nx, cfg.ny,
+            jax.lax.axis_index("mx") * lx, jax.lax.axis_index("my") * ly,
+            lx, ly, cfg.u_lid / cfg.nu, dtype=f.dtype,
+        )
+    f_new = _collide(cfg, g, feq, rho, cs2_field=cs2)
     # New lid density, replicated across the my axis so the carried (X,)
     # vector stays consistent: only the top shards contribute.
     _, _, is_top, _ = _edge_flags()

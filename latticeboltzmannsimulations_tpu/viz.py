@@ -13,11 +13,6 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-import matplotlib
-
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt  # noqa: E402
-
 from .config import SimConfig
 from .validate import compare_to_ghia, find_vortex_centers
 from .validate.ghia_data import has_reynolds
@@ -33,6 +28,13 @@ def dashboard(
     prefix: str = "ldc",
 ) -> str:
     """Render and save the 4-panel diagnostics figure; returns the PNG path."""
+    # matplotlib is an optional [viz] extra — import lazily so a base install
+    # (jax+numpy only) can import the package; Agg keeps rendering headless.
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
     rho = np.asarray(rho)
     u = np.asarray(u)
     nx, ny = cfg.nx, cfg.ny

@@ -103,6 +103,19 @@ def test_checkpointer_keeps_last_k(tmp_path):
     assert n == 30
 
 
+def test_checkpointer_saves_when_every_not_multiple_of_interval(tmp_path):
+    # simulate() invokes the callback at report-interval multiples; an
+    # ``every`` that's not a multiple of the interval must still save.
+    cfg = SimConfig(nx=32, ny=32, reynolds=100.0)
+    state = engine.init_state(cfg)
+    ck = Checkpointer(str(tmp_path), cfg, every=75, keep=3)
+    rho, u = engine.observables(cfg, state)
+    for s in (50, 100, 150, 200):
+        ck(s, state, rho, u)
+    files = sorted(p for p in os.listdir(tmp_path) if p.endswith(".npz"))
+    assert files == ["ckpt_00000100.npz", "ckpt_00000200.npz"]
+
+
 def test_metrics_logger(tmp_path):
     path = str(tmp_path / "m.jsonl")
     with MetricsLogger(path) as m:

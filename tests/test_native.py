@@ -39,8 +39,11 @@ def test_native_matches_jax(collision):
     np.testing.assert_allclose(lid, lid_ref, atol=2e-5)
 
 
-def test_native_smagorinsky_matches():
-    cfg = SimConfig(nx=48, ny=48, reynolds=5000.0, collision="srt",
+@pytest.mark.parametrize("collision", ["srt", "trt"])
+def test_native_smagorinsky_matches(collision):
+    # TRT+LES pins the omega^- = f(tau0, magic) closure: the magic parameter
+    # must see the base tau, not the LES-modified effective tau.
+    cfg = SimConfig(nx=48, ny=48, reynolds=5000.0, collision=collision,
                     turbulence="smagorinsky", precision="float32")
     f_ref, _ = _run_jax(cfg, 15)
     st = engine.init_state(cfg)

@@ -66,6 +66,24 @@ def test_sharded_scan_runner_matches_stepwise():
     np.testing.assert_allclose(np.asarray(out.f), np.asarray(ref.f), rtol=0, atol=1e-14)
 
 
+def test_sharded_van_driest_matches_single_chip():
+    # The per-shard Cs^2 block must reproduce the global Van Driest plane
+    # (wall distances are global, not per-shard).
+    cfg = _cfg(mesh_shape=(2, 4), reynolds=5000.0,
+               turbulence="smagorinsky", van_driest=True)
+    n = 20
+    ref = _run_single(cfg, n)
+
+    mesh = make_mesh(cfg.mesh_shape)
+    state = shard_state(engine.init_state(cfg), mesh)
+    runner = make_sharded_scan_runner(cfg, n, mesh)
+    state = runner(state)
+
+    np.testing.assert_allclose(
+        np.asarray(state.f), np.asarray(ref.f), rtol=0, atol=1e-14
+    )
+
+
 def test_sharded_observables_match():
     cfg = _cfg(mesh_shape=(2, 2), turbulence="smagorinsky")
     mesh = make_mesh(cfg.mesh_shape)
