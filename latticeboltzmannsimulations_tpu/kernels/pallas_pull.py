@@ -107,10 +107,20 @@ def _lane_roll(plane: jnp.ndarray, shift: int, interpret: bool) -> jnp.ndarray:
 
 
 def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
-                 n_buf: int = 2, traced_omega: bool = False):
+                 n_buf: int = 2, traced_omega: bool = False,
+                 n_cav: int = 1):
+    """``n_cav > 1`` stacks that many *independent* cavities along x (field
+    width ``n_cav * nx``), each with its own traced omega — the wall rewrite
+    fires at every cavity boundary, and every population that a tile gathers
+    from a neighboring cavity is one the wall rewrite overwrites, so the
+    stacked run is exactly ``n_cav`` isolated cavities in one dispatch (the
+    TPU batch form of the reference's one-GPU-run-per-Re sweep,
+    ``MRT_GPU_datagen.py:55-69``)."""
     nx, ny = cfg.nx, cfg.ny
+    nx_total = nx * n_cav
     u_lid = cfg.u_lid
-    n_tiles = nx // tile_x
+    n_tiles = nx_total // tile_x
+    tiles_per_cav = nx // tile_x
 
     def kernel(*refs):
         if traced_omega:
@@ -120,8 +130,13 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
             (rho_lid_ref, f_hbm,
              f_out_ref, rho_lid_out_ref, scratch, sem) = refs
         i = pl.program_id(0)
-        first = i == 0
-        last = i == n_tiles - 1
+        if n_cav == 1:
+            first = i == 0
+            last = i == n_tiles - 1
+        else:
+            pos = jax.lax.rem(i, jnp.asarray(tiles_per_cav, i.dtype))
+            first = pos == 0
+            last = pos == tiles_per_cav - 1
 
         # --- stage the x-halo window HBM -> VMEM, double-buffered ----------
         # Mosaic requires DMA slice shapes/offsets aligned to the 8-sublane
@@ -139,7 +154,7 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
         # under the current tile's compute instead of stalling it.
         def window_dma(t, slot):
             src0 = pl.multiple_of(
-                jnp.clip(t * tile_x - 8, 0, nx - (tile_x + 16)), 8
+                jnp.clip(t * tile_x - 8, 0, nx_total - (tile_x + 16)), 8
             )
             dst0 = pl.multiple_of(src0 - (t * tile_x - 16), 8)  # {0, 8, 16}
             return pltpu.make_async_copy(
@@ -225,7 +240,14 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
 
         # --- equilibrium + collision (shared ops code) ---------------------
         feq = equilibrium(rho, u)
-        omega = omega_ref[0, 0] if traced_omega else None
+        if traced_omega:
+            if n_cav == 1:
+                omega = omega_ref[0, 0]
+            else:
+                cav = jax.lax.div(i, jnp.asarray(tiles_per_cav, i.dtype))
+                omega = omega_ref[cav, 0]
+        else:
+            omega = None
         f_new = _collide(cfg, g, feq, rho, omega=omega)
 
         f_out_ref[:, :, :] = f_new
@@ -235,15 +257,22 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
 
 
 def make_step(cfg: SimConfig, interpret: bool = False,
-              traced_omega: bool = False) -> Callable[..., State]:
+              traced_omega: bool = False, n_cav: int = 1) -> Callable[..., State]:
     """One fused Pallas collide-and-stream step, same trajectory as
     ``engine.make_fused_step`` (asserted by tests).
 
     With ``traced_omega=True`` the step takes ``(state, omega)`` — the shear
     relaxation rate rides in as an SMEM scalar, so ONE compiled kernel serves
     a whole Reynolds sweep (the Pallas analogue of
-    ``engine.make_fused_step_omega``; used by ``ml/datagen.py``)."""
+    ``engine.make_fused_step_omega``; used by ``ml/datagen.py``).
+
+    With ``n_cav > 1`` (requires ``traced_omega``) the state stacks that many
+    independent cavities along x — ``f (9, n_cav*nx, ny)``,
+    ``rho_lid (n_cav*nx,)`` — and ``omega`` is a ``(n_cav,)`` vector: one
+    dispatch advances a whole batch of Reynolds numbers at kernel speed."""
     cfg.validate()
+    if n_cav > 1 and not traced_omega:
+        raise ValueError("stacked cavities (n_cav > 1) require traced_omega")
     if cfg.precision != "float32" and not interpret:
         raise ValueError("the Pallas kernel is float32 (TPU-native precision)")
     if cfg.boundary != "nebb":
@@ -263,15 +292,16 @@ def make_step(cfg: SimConfig, interpret: bool = False,
             "fused jit engine for other widths"
         )
     nx, ny = cfg.nx, cfg.ny
+    nx_total = nx * n_cav
     tile_x = pick_tile_x(nx, ny)
-    n_tiles = nx // tile_x
-    n_buf = 1 if _is_small_field(nx, ny) else 2
+    n_tiles = nx_total // tile_x
+    n_buf = 1 if _is_small_field(nx_total, ny) else 2
     kernel = _make_kernel(cfg, tile_x, interpret, n_buf=n_buf,
-                          traced_omega=traced_omega)
+                          traced_omega=traced_omega, n_cav=n_cav)
 
     def step(state: State, omega=None) -> State:
         f = state.f
-        rho_lid = state.rho_lid.reshape(nx, 1)
+        rho_lid = state.rho_lid.reshape(nx_total, 1)
         in_specs = [
             # (nx, 1) column layout: the tiled dim rides the sublanes so
             # the block obeys the (8, 128) tiling rule at any tile size.
@@ -281,9 +311,9 @@ def make_step(cfg: SimConfig, interpret: bool = False,
         ]
         args = [rho_lid, f]
         if traced_omega:
-            in_specs.insert(0, pl.BlockSpec((1, 1), lambda i: (0, 0),
+            in_specs.insert(0, pl.BlockSpec((n_cav, 1), lambda i: (0, 0),
                                             memory_space=pltpu.SMEM))
-            args.insert(0, jnp.asarray(omega, f.dtype).reshape(1, 1))
+            args.insert(0, jnp.asarray(omega, f.dtype).reshape(n_cav, 1))
         f_new, rho_lid_new = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
@@ -296,21 +326,21 @@ def make_step(cfg: SimConfig, interpret: bool = False,
             ],
             out_shape=[
                 jax.ShapeDtypeStruct(f.shape, f.dtype),
-                jax.ShapeDtypeStruct((nx, 1), f.dtype),
+                jax.ShapeDtypeStruct((nx_total, 1), f.dtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((n_buf, lattice.Q, tile_x + 32, ny), f.dtype),
                 pltpu.SemaphoreType.DMA((n_buf,)),
             ],
             cost_estimate=pl.CostEstimate(
-                flops=300 * nx * ny,
-                bytes_accessed=2 * 9 * nx * ny * 4,
+                flops=300 * nx_total * ny,
+                bytes_accessed=2 * 9 * nx_total * ny * 4,
                 transcendentals=0,
             ),
-            compiler_params=_compiler_params(nx, ny),
+            compiler_params=_compiler_params(nx_total, ny),
             interpret=interpret,
         )(*args)
-        return State(f=f_new, rho_lid=rho_lid_new.reshape(nx))
+        return State(f=f_new, rho_lid=rho_lid_new.reshape(nx_total))
 
     return step
 
@@ -342,6 +372,27 @@ def make_scan_runner_omega(cfg: SimConfig, n_steps: int,
     def run(state: State, omega) -> State:
         def body(s, _):
             return step(s, omega), None
+
+        state, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return state
+
+    return run
+
+
+def make_sweep_runner(cfg: SimConfig, n_cav: int, n_steps: int,
+                      interpret: bool = False):
+    """N steps of a whole *batch* of cavities in one dispatch: ``n_cav``
+    independent cavities stacked along x, per-cavity omega vector.  One
+    compiled program advances the entire Reynolds batch ``n_steps`` at fused
+    kernel speed (the TPU redesign of the reference's sequential
+    one-run-per-Re datagen loop, ``MRT_GPU_datagen.py:55-69``)."""
+    step = make_step(cfg, interpret=interpret, traced_omega=True,
+                     n_cav=n_cav)
+
+    @jax.jit
+    def run(state: State, omegas) -> State:
+        def body(s, _):
+            return step(s, omegas), None
 
         state, _ = jax.lax.scan(body, state, None, length=n_steps)
         return state

@@ -74,6 +74,88 @@ def _pallas_sweep_ok(cfg: SimConfig) -> bool:
     )
 
 
+def _generate_stacked_pallas(cfg, re_values, n_cav, progress):
+    """Batched TPU sweep: ``n_cav`` cavities stacked along x advance through
+    ONE Pallas dispatch per chunk (``kernels.pallas_pull.make_sweep_runner``)
+    with a per-cavity omega vector, so the whole Reynolds batch runs at fused
+    kernel speed instead of paying per-Re dispatch latency."""
+    from ..kernels import pallas_pull
+
+    n = len(re_values)
+    state0 = engine.init_state(cfg)
+    feq_initial = np.asarray(state0.f)
+    chunk = max(1, cfg.report_interval)
+    runner = pallas_pull.make_sweep_runner(cfg, n_cav, chunk)
+    obs_b = _batched_observables(cfg)
+
+    nx, ny = cfg.nx, cfg.ny
+
+    @jax.jit
+    def check_and_renorm(f, rho_lid):
+        """Unstack -> boundary-corrected obs -> per-cavity mass renorm.
+        Returns the renormed stacked state and the per-cavity u fields."""
+        fb = f.reshape(9, n_cav, nx, ny).transpose(1, 0, 2, 3)
+        lidb = rho_lid.reshape(n_cav, nx)
+        rho_b, u_b = obs_b(engine.State(f=fb, rho_lid=lidb))
+        scale = (1.0 / jnp.mean(rho_b, axis=(1, 2))).astype(f.dtype)
+        f = (f.reshape(9, n_cav, nx, ny) * scale[None, :, None, None]
+             ).reshape(f.shape)
+        rho_lid = (rho_lid.reshape(n_cav, nx) * scale[:, None]).reshape(-1)
+        return f, rho_lid, u_b
+
+    f_final = np.empty((n, 9, nx, ny), dtype=feq_initial.dtype)
+    u_final = np.empty((n, 2, nx, ny), dtype=feq_initial.dtype)
+
+    for lo in range(0, n, n_cav):
+        hi = min(lo + n_cav, n)
+        res = re_values[lo:hi]
+        b = hi - lo
+        # Short batches pad with repeats of the last Re (results discarded).
+        res_pad = np.concatenate([res, np.repeat(res[-1:], n_cav - b)])
+        omegas = jnp.asarray(
+            [dataclasses.replace(cfg, reynolds=float(r)).omega
+             for r in res_pad],
+            dtype=cfg.dtype,
+        )
+        state = engine.State(
+            f=jnp.concatenate([state0.f] * n_cav, axis=1),
+            rho_lid=jnp.concatenate([state0.rho_lid] * n_cav),
+        )
+        mean_past = np.full(n_cav, np.inf)
+        hits = np.zeros(n_cav, dtype=int)
+        steps = 0
+        while steps < cfg.max_steps:
+            state = runner(state, omegas)
+            steps += chunk
+            f, rho_lid, u_b = check_and_renorm(state.f, state.rho_lid)
+            state = engine.State(f=f, rho_lid=rho_lid)
+            # f64 accumulation on the host (x64 is disabled on TPU)
+            mean_u = np.asarray(u_b).mean(axis=(1, 2, 3), dtype=np.float64)
+            if not np.all(np.isfinite(mean_u[:b])):
+                bad = res[~np.isfinite(mean_u[:b])]
+                raise FloatingPointError(
+                    f"divergence in sweep batch at Re={bad.tolist()}"
+                )
+            done = np.abs(mean_u - mean_past) / cfg.u_lid < cfg.convergence_tol
+            hits = np.where(done, hits + 1, 0)
+            mean_past = mean_u
+            if np.all(hits[:b] > cfg.convergence_hits):
+                break
+        # Final observables from the converged (renormed) state.
+        fb = state.f.reshape(9, n_cav, nx, ny).transpose(1, 0, 2, 3)
+        lidb = state.rho_lid.reshape(n_cav, nx)
+        _, u_b = obs_b(engine.State(f=fb, rho_lid=lidb))
+        f_final[lo:hi] = np.asarray(fb)[:b]
+        u_final[lo:hi] = np.asarray(u_b)[:b]
+        if progress is not None:
+            progress(
+                f"Re[{lo}:{hi}] ({res[0]:g}..{res[-1]:g}): {steps} steps, "
+                f"{int((hits[:b] > cfg.convergence_hits).sum())}/{b} converged"
+            )
+    return DatasetArrays(re_range=re_values, feq_initial=feq_initial,
+                         f_final=f_final, u_final=u_final)
+
+
 def _generate_sequential_pallas(cfg, re_values, progress):
     """Per-Re runs through the fused Pallas kernel (traced omega)."""
     from ..kernels import pallas_pull
@@ -137,6 +219,9 @@ def generate_dataset(
     n = len(re_values)
 
     if _pallas_sweep_ok(cfg):
+        if n > 1 and batch_size > 1:
+            n_cav = min(batch_size, n)
+            return _generate_stacked_pallas(cfg, re_values, n_cav, progress)
         return _generate_sequential_pallas(cfg, re_values, progress)
 
     state0 = engine.init_state(cfg)

@@ -107,3 +107,42 @@ def test_traced_omega_kernel_matches_engine():
             s_ref = step_ref(s_ref, omega)
             s_pk = step_pk(s_pk, omega)
         np.testing.assert_array_equal(np.asarray(s_pk.f), np.asarray(s_ref.f))
+
+
+def test_stacked_cavities_match_independent_runs():
+    """n_cav=3 stacked-x batch == 3 independent traced-omega runs,
+    bit-for-bit: the wall rewrite isolates every cavity in the stack."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg = _cfg(collision="srt", turbulence="smagorinsky")
+    n_cav, n = 3, 8
+    res = (150.0, 900.0, 2500.0)
+    omegas = jnp.asarray(
+        [dataclasses.replace(cfg, reynolds=r).omega for r in res], jnp.float32
+    )
+
+    step_one = pallas_pull.make_step(cfg, interpret=True, traced_omega=True)
+    singles = []
+    for k in range(n_cav):
+        s = engine.init_state(cfg)
+        for _ in range(n):
+            s = step_one(s, omegas[k])
+        singles.append(s)
+
+    s0 = engine.init_state(cfg)
+    stacked = engine.State(
+        f=jnp.concatenate([s0.f] * n_cav, axis=1),
+        rho_lid=jnp.concatenate([s0.rho_lid] * n_cav),
+    )
+    runner = pallas_pull.make_sweep_runner(cfg, n_cav, n, interpret=True)
+    out = runner(stacked, omegas)
+
+    for k in range(n_cav):
+        blk = np.asarray(out.f)[:, k * cfg.nx : (k + 1) * cfg.nx, :]
+        np.testing.assert_array_equal(blk, np.asarray(singles[k].f))
+        np.testing.assert_array_equal(
+            np.asarray(out.rho_lid)[k * cfg.nx : (k + 1) * cfg.nx],
+            np.asarray(singles[k].rho_lid),
+        )
