@@ -1,20 +1,30 @@
-"""Sharded Pallas fused step: per-shard collide-and-stream kernel fed by the
-ICI halo exchange — the scale-out performance path.
+"""Sharded Pallas fused step: per-shard collide-and-stream kernel fed by an
+ICI strip halo exchange — the scale-out performance path.
+
+The local block is carried *already x-padded* ``(9, lx+16, ly-ish)`` across
+steps (real columns at ``[8, lx+8)``), so the per-step halo exchange is four
+``ppermute`` edge strips plus four one-column ``dynamic_update_slice`` writes
+— O(edge) traffic instead of the full-field concatenate an unpadded carry
+would force (which costs an entire extra HBM pass per step).  The kernel
+both *reads* windows of the padded buffer and *writes* its output back into
+the same padded layout through explicit output DMA, so the carried layout is
+closed under the step and nothing ever reshapes the field.
 
 Composition (all inside ``shard_map``):
 
-1. the carried local block is y-padded ``(9, lx, ly+2)``; each step its two
-   halo lanes are refreshed by ``ppermute`` row strips, then the x edge
-   columns (including the fresh y-halo lanes — the two-phase corner trick)
-   are exchanged and concatenated into an x-padded window ``(9, lx+8, ly+2)``
-   (8-aligned for the DMA tiling rule),
-2. a Pallas kernel tiles the real columns, windows the padded field
-   HBM→VMEM, pull-gathers with purely static offsets (no edge clamping —
-   every neighbor exists in the padded window), applies the reduced NEBB
-   rewrites masked by *shard ownership flags* passed as scalars, and writes
-   the next local block,
-3. the halo lanes the kernel writes are garbage; the next step's exchange
-   overwrites them before anything reads them.
+1. y-halo lanes are refreshed by ``ppermute`` row strips (only when the mesh
+   has ``my > 1`` or the lane count needs padding — an ``my == 1`` mesh with
+   ``ly % 128 == 0`` skips halo lanes entirely and uses the single-chip
+   kernel's lane-roll wrap semantics, avoiding the padded-lane tax), then
+   the x edge columns (including fresh y-halo lanes — the two-phase corner
+   trick) are exchanged and written into the halo columns 7 and ``lx+8``,
+2. a Pallas kernel tiles the real columns, stages each tile's 8-aligned
+   x-halo window HBM→VMEM double-buffered (prefetch rides under compute),
+   pull-gathers with purely static offsets, applies the reduced NEBB
+   rewrites masked by *shard ownership flags* passed as scalars, and DMAs
+   the new tile back to the padded output buffer,
+3. halo/dead columns of the output are garbage; the next step's strip
+   exchange overwrites the halos before anything reads them.
 
 The periodic ppermute rings reproduce the single-chip engine's wrap
 semantics, so this backend is bit-identical to ``engine.make_fused_step`` on
@@ -44,27 +54,47 @@ def _ring(n: int, shift: int):
     return [(i, (i + shift) % n) for i in range(n)]
 
 
-def _padded_lanes(ly: int) -> int:
-    """Carried lane width: ly real lanes + 2 halo lanes, rounded up to the
-    128-lane tile so Mosaic can sublane-slice the HBM buffer (unpadded-lane
-    arrays get relayout-padded and become unsliceable).  Dead lanes beyond
-    ly+2 hold garbage that no real cell ever reads."""
-    return ((ly + 2 + 127) // 128) * 128
+def _shift_strip(x, axis_name: str, n: int, shift: int):
+    """ppermute ring, with size-1 axes elided: a self-permute is an identity,
+    but leaving the collective in the graph pins the surrounding buffers to
+    HBM and forfeits XLA's VMEM-residency placement on degenerate meshes."""
+    if n == 1:
+        return x
+    return jax.lax.ppermute(x, axis_name, _ring(n, shift))
+
+
+def _lane_layout(my: int, ly: int) -> tuple[int, int]:
+    """(py, y0): carried lane width and the first real lane.
+
+    ``my == 1`` with tile-aligned lanes needs no halo lanes at all — the
+    in-kernel lane roll wraps exactly like the single-chip engine (wrap
+    values only land in wall-rewritten populations).  Otherwise carry
+    ``ly + 2`` halo-padded lanes rounded up to the 128-lane tile so Mosaic
+    can sublane-slice the HBM buffer; dead lanes beyond ``ly + 2`` hold
+    garbage no real cell ever reads."""
+    if my == 1 and ly % 128 == 0:
+        return ly, 0
+    return ((ly + 2 + 127) // 128) * 128, 1
 
 
 def _make_local_kernel(cfg: SimConfig, lx: int, ly: int, tile_x: int,
-                       interpret: bool):
-    """Kernel over one shard's x-padded window.
+                       py: int, y0: int, van_driest: bool, interpret: bool):
+    """Kernel over one shard's x-padded block ``(9, lx+16, py)``.
 
-    Real cells live at padded cols [1, lx+1) and lanes [1, ly+1).
+    Real cells live at padded cols ``[8, lx+8)`` and lanes ``[y0, y0+ly)``.
     ``flags_ref`` holds (is_left, is_right, is_top, is_bottom) as int32.
+    With ``van_driest`` the per-shard wall-damped Cs^2 plane rides in as a
+    pipelined VMEM input tile (it is static per config and shard).
     """
     u_lid = cfg.u_lid
     n_tiles = lx // tile_x
-    py = _padded_lanes(ly)
 
-    def kernel(flags_ref, rho_lid_ref, fp_hbm, f_out_ref, rho_row_ref,
-               scratch, sem):
+    def kernel(*refs):
+        refs = list(refs)
+        flags_ref, rho_lid_ref = refs.pop(0), refs.pop(0)
+        cs2_ref = refs.pop(0) if van_driest else None
+        (fp_hbm, fp_out, rho_row_ref,
+         in_scratch, out_scratch, in_sem, out_sem) = refs
         i = pl.program_id(0)
         f_left = flags_ref[0, 0] != 0
         f_right = flags_ref[0, 1] != 0
@@ -73,29 +103,48 @@ def _make_local_kernel(cfg: SimConfig, lx: int, ly: int, tile_x: int,
         first = jnp.logical_and(i == 0, f_left)
         last = jnp.logical_and(i == n_tiles - 1, f_right)
 
-        src0 = pl.multiple_of(i * tile_x, 8)
-        dma = pltpu.make_async_copy(
-            fp_hbm.at[:, pl.ds(src0, tile_x + 8), :], scratch, sem
-        )
-        dma.start()
-        dma.wait()
+        # --- stage the x-halo window HBM -> VMEM, double-buffered ----------
+        # Window for tile t covers padded cols [t*TX, t*TX + TX + 16): the
+        # tile's real cols sit at scratch offset 8, its left/right neighbors
+        # (halo or adjacent tile) at 7 / TX+8.  All offsets/shapes 8-aligned;
+        # no edge clamping — every neighbor exists in the padded buffer.
+        def in_dma(t, slot):
+            src0 = pl.multiple_of(t * tile_x, 8)
+            return pltpu.make_async_copy(
+                fp_hbm.at[:, pl.ds(src0, tile_x + 16), :],
+                in_scratch.at[slot],
+                in_sem.at[slot],
+            )
 
-        # Pull gather: tile-local col t is padded col i*TX+1+t; population k
-        # reads padded col (…)-cx -> scratch col 1+t-cx, lanes roll by -cy
-        # (halo lanes absorb the wrap; real lanes read real neighbors).
+        slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+
+        @pl.when(i == 0)
+        def _():
+            in_dma(0, 0).start()
+
+        @pl.when(i + 1 < n_tiles)
+        def _():
+            in_dma(i + 1, 1 - slot).start()
+
+        in_dma(i, slot).wait()
+
+        # --- pull gather: g_k(x, y) = f_k(x - cx, y + cy) -------------------
+        # x via static slices of the staged window; y via a lane roll (halo
+        # lanes absorb the roll wrap when carried; with y0 == 0 the wrap
+        # values only land in wall-rewritten populations, single-chip style).
         gs = []
         for k in range(lattice.Q):
             cx = int(lattice.CX[k])
             cy = int(lattice.CY[k])
-            p = scratch[k, 1 - cx : 1 - cx + tile_x, :]
+            p = in_scratch[slot, k, 8 - cx : 8 - cx + tile_x, :]
             gs.append(_lane_roll(p, -cy, interpret))
 
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_x, py), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (tile_x, py), 1)
         m_left = jnp.logical_and(first, col == 0)
         m_right = jnp.logical_and(last, col == tile_x - 1)
-        m_bot = jnp.logical_and(f_bot, lane == ly)   # last real lane
-        m_lid = jnp.logical_and(f_top, lane == 1)    # first real lane
+        m_bot = jnp.logical_and(f_bot, lane == y0 + ly - 1)  # last real lane
+        m_lid = jnp.logical_and(f_top, lane == y0)           # first real lane
 
         # Reduced NEBB, fused-engine order (left, right, bottom, lid).
         gs[1] = jnp.where(m_left, gs[3], gs[1])
@@ -128,10 +177,36 @@ def _make_local_kernel(cfg: SimConfig, lx: int, ly: int, tile_x: int,
         u = jnp.stack([ux, uy])
 
         feq = equilibrium(rho, u)
-        f_new = _collide(cfg, g, feq, rho)
+        cs2 = cs2_ref[:, :] if van_driest else None
+        f_new = _collide(cfg, g, feq, rho, cs2_field=cs2)
 
-        f_out_ref[:, :, :] = f_new
-        rho_row_ref[:, 0] = rho[:, 1]  # lid value sits at the first real lane
+        # --- write back: VMEM staging + explicit DMA into the padded layout.
+        # BlockSpec outputs cannot express the +8 column offset, so the tile
+        # is staged in a double-buffered scratch and copied out async; the
+        # wait for slot reuse is two tiles behind, the final tile drains.
+        def out_dma(t, s):
+            dst0 = pl.multiple_of(8 + t * tile_x, 8)
+            return pltpu.make_async_copy(
+                out_scratch.at[s],
+                fp_out.at[:, pl.ds(dst0, tile_x), :],
+                out_sem.at[s],
+            )
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(i - 2, slot).wait()
+
+        out_scratch[slot] = f_new
+        rho_row_ref[:, 0] = rho[:, y0]  # lid value sits at the first real lane
+        out_dma(i, slot).start()
+
+        if n_tiles > 1:
+            @pl.when(i == n_tiles - 1)
+            def _():
+                out_dma(i - 1, 1 - slot).wait()
+                out_dma(i, slot).wait()
+        else:
+            out_dma(i, slot).wait()
 
     return kernel
 
@@ -139,35 +214,45 @@ def _make_local_kernel(cfg: SimConfig, lx: int, ly: int, tile_x: int,
 def _make_local_step(cfg: SimConfig, mesh_shape, interpret: bool):
     mx, my = mesh_shape
     lx, ly = cfg.nx // mx, cfg.ny // my
-    py = _padded_lanes(ly)
+    py, y0 = _lane_layout(my, ly)
+    lxp = lx + 16
     tile_x = pick_tile_x(lx, py)
     n_tiles = lx // tile_x
-    kernel = _make_local_kernel(cfg, lx, ly, tile_x, interpret)
+    van_driest = cfg.turbulence == "smagorinsky" and cfg.van_driest
+    kernel = _make_local_kernel(cfg, lx, ly, tile_x, py, y0, van_driest,
+                                interpret)
 
-    def kernel_call(fp, rho_lid, flags):
+    def kernel_call(fp, rho_lid, flags, cs2):
+        in_specs = [
+            pl.BlockSpec((1, 4), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_x, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        args = [flags, rho_lid, fp]
+        if van_driest:
+            in_specs.insert(2, pl.BlockSpec((tile_x, py), lambda i: (i, 0),
+                                            memory_space=pltpu.VMEM))
+            args.insert(2, cs2)
         return pl.pallas_call(
             kernel,
             grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec((1, 4), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((tile_x, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
+            in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((lattice.Q, tile_x, py), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec((tile_x, 1), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((lattice.Q, lx, py), fp.dtype),
+                jax.ShapeDtypeStruct((lattice.Q, lxp, py), fp.dtype),
                 jax.ShapeDtypeStruct((lx, 1), fp.dtype),
             ],
             scratch_shapes=[
-                pltpu.VMEM((lattice.Q, tile_x + 8, py), fp.dtype),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, lattice.Q, tile_x + 16, py), fp.dtype),
+                pltpu.VMEM((2, lattice.Q, tile_x, py), fp.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=300 * lx * py,
@@ -176,31 +261,31 @@ def _make_local_step(cfg: SimConfig, mesh_shape, interpret: bool):
             ),
             compiler_params=_compiler_params(lx, py),
             interpret=interpret,
-        )(flags, rho_lid, fp)
+        )(*args)
 
-    def local_step(fy, rho_lid, flags):
-        """One step on the y-padded local block ``fy (9, lx, ly+2)``."""
-        # Refresh y-halo lanes (rows) from the my neighbors.
-        top = jax.lax.ppermute(fy[:, :, ly : ly + 1], "my", _ring(my, 1))
-        bot = jax.lax.ppermute(fy[:, :, 1:2], "my", _ring(my, -1))
-        fy = jax.lax.dynamic_update_slice(fy, top, (0, 0, 0))
-        fy = jax.lax.dynamic_update_slice(fy, bot, (0, 0, ly + 1))
+    def local_step(fp, rho_lid, flags, cs2):
+        """One step on the x-padded local block ``fp (9, lx+16, py)``."""
+        if y0:
+            # Refresh y-halo lanes (rows) from the my neighbors.
+            top = _shift_strip(fp[:, 8 : lx + 8, ly : ly + 1], "my", my, 1)
+            bot = _shift_strip(fp[:, 8 : lx + 8, 1:2], "my", my, -1)
+            fp = jax.lax.dynamic_update_slice(fp, top, (0, 8, 0))
+            fp = jax.lax.dynamic_update_slice(fp, bot, (0, 8, ly + 1))
         # x halo columns (carrying the fresh y-halo lanes -> corners).
-        left = jax.lax.ppermute(fy[:, lx - 1 : lx, :], "mx", _ring(mx, 1))
-        right = jax.lax.ppermute(fy[:, 0:1, :], "mx", _ring(mx, -1))
-        dead = jnp.zeros((lattice.Q, 6, py), fy.dtype)
-        fp = jnp.concatenate([left, fy, right, dead], axis=1)
+        left = _shift_strip(fp[:, lx + 7 : lx + 8, :], "mx", mx, 1)
+        right = _shift_strip(fp[:, 8:9, :], "mx", mx, -1)
+        fp = jax.lax.dynamic_update_slice(fp, left, (0, 7, 0))
+        fp = jax.lax.dynamic_update_slice(fp, right, (0, lx + 8, 0))
 
-        rho_lid_col = rho_lid[:, None]
-        f_next, rho_row = kernel_call(fp, rho_lid_col, flags)
+        fp_next, rho_row = kernel_call(fp, rho_lid[:, None], flags, cs2)
         is_top = flags[0, 2] != 0
         rho_lid_next = jax.lax.psum(
             jnp.where(is_top, rho_row[:, 0], jnp.zeros_like(rho_row[:, 0])),
             "my",
         )
-        return f_next, rho_lid_next
+        return fp_next, rho_lid_next
 
-    return local_step, lx, ly
+    return local_step, lx, ly, py, y0, van_driest
 
 
 def make_sharded_pallas_runner(
@@ -212,7 +297,8 @@ def make_sharded_pallas_runner(
     if cfg.boundary != "nebb":
         raise ValueError("sharded Pallas implements the reduced NEBB walls")
     mx, my = cfg.mesh_shape
-    local_step, lx, ly = _make_local_step(cfg, cfg.mesh_shape, interpret)
+    local_step, lx, ly, py, y0, van_driest = _make_local_step(
+        cfg, cfg.mesh_shape, interpret)
 
     @jax.jit
     @functools.partial(
@@ -229,17 +315,27 @@ def make_sharded_pallas_runner(
             (iy == 0).astype(jnp.int32),
             (iy == my - 1).astype(jnp.int32),
         ]).reshape(1, 4)
-        py = _padded_lanes(ly)
-        fy = jnp.pad(f, ((0, 0), (0, 0), (1, py - ly - 1)))
+        fp = jnp.pad(f, ((0, 0), (8, 8), (y0, py - ly - y0)))
+        cs2 = None
+        if van_driest:
+            # Per-shard slice of the global wall-damped Cs^2 plane, padded
+            # to the carried lane layout (halo/dead-lane values are inert).
+            from ..ops.collision import van_driest_cs2_block
+
+            blk = van_driest_cs2_block(
+                cfg.nx, cfg.ny, ix * lx, iy * ly, lx, ly,
+                cfg.u_lid / cfg.nu, dtype=f.dtype,
+            )
+            cs2 = jnp.pad(blk, ((0, 0), (y0, py - ly - y0)))
 
         def body(carry, _):
-            fy, rho_lid = carry
-            fy, rho_lid = local_step(fy, rho_lid, flags)
-            return (fy, rho_lid), None
+            fp, rho_lid = carry
+            fp, rho_lid = local_step(fp, rho_lid, flags, cs2)
+            return (fp, rho_lid), None
 
-        (fy, rho_lid), _ = jax.lax.scan(
-            body, (fy, rho_lid), None, length=n_steps)
-        return fy[:, :, 1 : ly + 1], rho_lid
+        (fp, rho_lid), _ = jax.lax.scan(
+            body, (fp, rho_lid), None, length=n_steps)
+        return fp[:, 8 : lx + 8, y0 : y0 + ly], rho_lid
 
     def run(state: State) -> State:
         f, rho_lid = run_local(state.f, state.rho_lid)

