@@ -319,7 +319,7 @@ def make_step(cfg: SimConfig, interpret: bool = False,
             # the block obeys the (8, 128) tiling rule at any tile size.
             pl.BlockSpec((tile_x, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # f stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # f stays in HBM
         ]
         args = [rho_lid, f]
         if van_driest:

@@ -1,14 +1,16 @@
 """Sharded Pallas fused step: per-shard collide-and-stream kernel fed by an
 ICI strip halo exchange — the scale-out performance path.
 
-The local block is carried *already x-padded* ``(9, lx+16, ly-ish)`` across
-steps (real columns at ``[8, lx+8)``), so the per-step halo exchange is four
+The local block is carried *already x-padded* ``(9, lx+2*tile_x, ly-ish)``
+across steps (real columns at ``[tile_x, lx+tile_x)`` — a whole-tile anchor
+so the kernel's output rides a normal pipelined BlockSpec with index map
+``i+1``), so the per-step halo exchange is four
 ``ppermute`` edge strips plus four one-column ``dynamic_update_slice`` writes
 — O(edge) traffic instead of the full-field concatenate an unpadded carry
 would force (which costs an entire extra HBM pass per step).  The kernel
 both *reads* windows of the padded buffer and *writes* its output back into
-the same padded layout through explicit output DMA, so the carried layout is
-closed under the step and nothing ever reshapes the field.
+the same padded layout (pipelined block outputs at index ``i+1``), so the
+carried layout is closed under the step and nothing ever reshapes the field.
 
 Composition (all inside ``shard_map``):
 
@@ -79,9 +81,13 @@ def _lane_layout(my: int, ly: int) -> tuple[int, int]:
 
 def _make_local_kernel(cfg: SimConfig, lx: int, ly: int, tile_x: int,
                        py: int, y0: int, van_driest: bool, interpret: bool):
-    """Kernel over one shard's x-padded block ``(9, lx+16, py)``.
+    """Kernel over one shard's x-padded block ``(9, lx + 2*tile_x, py)``.
 
-    Real cells live at padded cols ``[8, lx+8)`` and lanes ``[y0, y0+ly)``.
+    Real cells live at padded cols ``[tile_x, lx+tile_x)`` and lanes
+    ``[y0, y0+ly)``.  Anchoring the real region at a whole-tile offset lets
+    the *output* ride a normal pipelined BlockSpec (index map ``i + 1``)
+    instead of manual DMA — Mosaic overlaps the writeback with compute, and
+    XLA keeps its VMEM-residency placement option for the carried buffer.
     ``flags_ref`` holds (is_left, is_right, is_top, is_bottom) as int32.
     With ``van_driest`` the per-shard wall-damped Cs^2 plane rides in as a
     pipelined VMEM input tile (it is static per config and shard).
@@ -93,8 +99,7 @@ def _make_local_kernel(cfg: SimConfig, lx: int, ly: int, tile_x: int,
         refs = list(refs)
         flags_ref, rho_lid_ref = refs.pop(0), refs.pop(0)
         cs2_ref = refs.pop(0) if van_driest else None
-        (fp_hbm, fp_out, rho_row_ref,
-         in_scratch, out_scratch, in_sem, out_sem) = refs
+        (fp_hbm, f_out_ref, rho_row_ref, in_scratch, in_sem) = refs
         i = pl.program_id(0)
         f_left = flags_ref[0, 0] != 0
         f_right = flags_ref[0, 1] != 0
@@ -104,12 +109,13 @@ def _make_local_kernel(cfg: SimConfig, lx: int, ly: int, tile_x: int,
         last = jnp.logical_and(i == n_tiles - 1, f_right)
 
         # --- stage the x-halo window HBM -> VMEM, double-buffered ----------
-        # Window for tile t covers padded cols [t*TX, t*TX + TX + 16): the
-        # tile's real cols sit at scratch offset 8, its left/right neighbors
-        # (halo or adjacent tile) at 7 / TX+8.  All offsets/shapes 8-aligned;
-        # no edge clamping — every neighbor exists in the padded buffer.
+        # Window for tile t covers padded cols [(t+1)*TX - 8, (t+1)*TX + TX
+        # + 8): the tile's real cols sit at scratch offset 8, its left/right
+        # neighbors (halo or adjacent tile) at 7 / TX+8.  All offsets/shapes
+        # 8-aligned; no edge clamping — every neighbor exists in the padded
+        # buffer.
         def in_dma(t, slot):
-            src0 = pl.multiple_of(t * tile_x, 8)
+            src0 = pl.multiple_of((t + 1) * tile_x - 8, 8)
             return pltpu.make_async_copy(
                 fp_hbm.at[:, pl.ds(src0, tile_x + 16), :],
                 in_scratch.at[slot],
@@ -180,33 +186,8 @@ def _make_local_kernel(cfg: SimConfig, lx: int, ly: int, tile_x: int,
         cs2 = cs2_ref[:, :] if van_driest else None
         f_new = _collide(cfg, g, feq, rho, cs2_field=cs2)
 
-        # --- write back: VMEM staging + explicit DMA into the padded layout.
-        # BlockSpec outputs cannot express the +8 column offset, so the tile
-        # is staged in a double-buffered scratch and copied out async; the
-        # wait for slot reuse is two tiles behind, the final tile drains.
-        def out_dma(t, s):
-            dst0 = pl.multiple_of(8 + t * tile_x, 8)
-            return pltpu.make_async_copy(
-                out_scratch.at[s],
-                fp_out.at[:, pl.ds(dst0, tile_x), :],
-                out_sem.at[s],
-            )
-
-        @pl.when(i >= 2)
-        def _():
-            out_dma(i - 2, slot).wait()
-
-        out_scratch[slot] = f_new
+        f_out_ref[:, :, :] = f_new
         rho_row_ref[:, 0] = rho[:, y0]  # lid value sits at the first real lane
-        out_dma(i, slot).start()
-
-        if n_tiles > 1:
-            @pl.when(i == n_tiles - 1)
-            def _():
-                out_dma(i - 1, 1 - slot).wait()
-                out_dma(i, slot).wait()
-        else:
-            out_dma(i, slot).wait()
 
     return kernel
 
@@ -215,8 +196,8 @@ def _make_local_step(cfg: SimConfig, mesh_shape, interpret: bool):
     mx, my = mesh_shape
     lx, ly = cfg.nx // mx, cfg.ny // my
     py, y0 = _lane_layout(my, ly)
-    lxp = lx + 16
     tile_x = pick_tile_x(lx, py)
+    lxp = lx + 2 * tile_x  # real cols [tile_x, lx+tile_x)
     n_tiles = lx // tile_x
     van_driest = cfg.turbulence == "smagorinsky" and cfg.van_driest
     kernel = _make_local_kernel(cfg, lx, ly, tile_x, py, y0, van_driest,
@@ -228,7 +209,7 @@ def _make_local_step(cfg: SimConfig, mesh_shape, interpret: bool):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_x, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
         args = [flags, rho_lid, fp]
         if van_driest:
@@ -240,7 +221,9 @@ def _make_local_step(cfg: SimConfig, mesh_shape, interpret: bool):
             grid=(n_tiles,),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                # real cols start a whole tile in: block index i + 1
+                pl.BlockSpec((lattice.Q, tile_x, py), lambda i: (0, i + 1, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_x, 1), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -250,8 +233,6 @@ def _make_local_step(cfg: SimConfig, mesh_shape, interpret: bool):
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, lattice.Q, tile_x + 16, py), fp.dtype),
-                pltpu.VMEM((2, lattice.Q, tile_x, py), fp.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             cost_estimate=pl.CostEstimate(
@@ -264,18 +245,19 @@ def _make_local_step(cfg: SimConfig, mesh_shape, interpret: bool):
         )(*args)
 
     def local_step(fp, rho_lid, flags, cs2):
-        """One step on the x-padded local block ``fp (9, lx+16, py)``."""
+        """One step on the x-padded local block ``fp (9, lx+2*tile_x, py)``."""
+        ox = tile_x  # first real col
         if y0:
             # Refresh y-halo lanes (rows) from the my neighbors.
-            top = _shift_strip(fp[:, 8 : lx + 8, ly : ly + 1], "my", my, 1)
-            bot = _shift_strip(fp[:, 8 : lx + 8, 1:2], "my", my, -1)
-            fp = jax.lax.dynamic_update_slice(fp, top, (0, 8, 0))
-            fp = jax.lax.dynamic_update_slice(fp, bot, (0, 8, ly + 1))
+            top = _shift_strip(fp[:, ox : ox + lx, ly : ly + 1], "my", my, 1)
+            bot = _shift_strip(fp[:, ox : ox + lx, 1:2], "my", my, -1)
+            fp = jax.lax.dynamic_update_slice(fp, top, (0, ox, 0))
+            fp = jax.lax.dynamic_update_slice(fp, bot, (0, ox, ly + 1))
         # x halo columns (carrying the fresh y-halo lanes -> corners).
-        left = _shift_strip(fp[:, lx + 7 : lx + 8, :], "mx", mx, 1)
-        right = _shift_strip(fp[:, 8:9, :], "mx", mx, -1)
-        fp = jax.lax.dynamic_update_slice(fp, left, (0, 7, 0))
-        fp = jax.lax.dynamic_update_slice(fp, right, (0, lx + 8, 0))
+        left = _shift_strip(fp[:, ox + lx - 1 : ox + lx, :], "mx", mx, 1)
+        right = _shift_strip(fp[:, ox : ox + 1, :], "mx", mx, -1)
+        fp = jax.lax.dynamic_update_slice(fp, left, (0, ox - 1, 0))
+        fp = jax.lax.dynamic_update_slice(fp, right, (0, ox + lx, 0))
 
         fp_next, rho_row = kernel_call(fp, rho_lid[:, None], flags, cs2)
         is_top = flags[0, 2] != 0
@@ -285,7 +267,7 @@ def _make_local_step(cfg: SimConfig, mesh_shape, interpret: bool):
         )
         return fp_next, rho_lid_next
 
-    return local_step, lx, ly, py, y0, van_driest
+    return local_step, lx, ly, py, y0, tile_x, van_driest
 
 
 def make_sharded_pallas_runner(
@@ -297,7 +279,7 @@ def make_sharded_pallas_runner(
     if cfg.boundary != "nebb":
         raise ValueError("sharded Pallas implements the reduced NEBB walls")
     mx, my = cfg.mesh_shape
-    local_step, lx, ly, py, y0, van_driest = _make_local_step(
+    local_step, lx, ly, py, y0, ox, van_driest = _make_local_step(
         cfg, cfg.mesh_shape, interpret)
 
     @jax.jit
@@ -315,7 +297,7 @@ def make_sharded_pallas_runner(
             (iy == 0).astype(jnp.int32),
             (iy == my - 1).astype(jnp.int32),
         ]).reshape(1, 4)
-        fp = jnp.pad(f, ((0, 0), (8, 8), (y0, py - ly - y0)))
+        fp = jnp.pad(f, ((0, 0), (ox, ox), (y0, py - ly - y0)))
         cs2 = None
         if van_driest:
             # Per-shard slice of the global wall-damped Cs^2 plane, padded
@@ -335,7 +317,7 @@ def make_sharded_pallas_runner(
 
         (fp, rho_lid), _ = jax.lax.scan(
             body, (fp, rho_lid), None, length=n_steps)
-        return fp[:, 8 : lx + 8, y0 : y0 + ly], rho_lid
+        return fp[:, ox : ox + lx, y0 : y0 + ly], rho_lid
 
     def run(state: State) -> State:
         f, rho_lid = run_local(state.f, state.rho_lid)

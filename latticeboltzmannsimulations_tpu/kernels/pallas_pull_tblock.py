@@ -192,8 +192,8 @@ def make_block_step(cfg: SimConfig, k_steps: int = 8,
             kernel,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # rho_lid windowed
-                pl.BlockSpec(memory_space=pltpu.ANY),  # f stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # rho_lid windowed
+                pl.BlockSpec(memory_space=pl.ANY),  # f stays in HBM
             ],
             out_specs=[
                 pl.BlockSpec((lattice.Q, tile_x, ny), lambda i: (0, i, 0),

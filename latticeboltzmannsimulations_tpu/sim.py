@@ -95,7 +95,7 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
             return rho, u
 
         return runner, obs, (lambda s: s), "push-oracle"
-    if opts.backend in ("sharded", "sharded-pallas") or (
+    if opts.backend in ("sharded", "sharded-pallas", "sharded-tblock") or (
         opts.backend == "auto" and cfg.mesh_shape != (1, 1)
     ):
         from .parallel import (
@@ -104,9 +104,32 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
 
         mesh = make_mesh(cfg.mesh_shape)
         on_tpu = jax.default_backend() not in ("cpu",)
-        if opts.backend == "sharded-pallas" or (
-            opts.backend == "auto" and on_tpu and cfg.precision == "float32"
-            and cfg.boundary == "nebb"
+        pallas_ok = (
+            on_tpu and cfg.precision == "float32" and cfg.boundary == "nebb"
+        )
+        # x-only meshes on HBM-bound per-shard grids: temporal blocking
+        # amortizes the ICI exchange over K steps (kernels/
+        # pallas_pull_tblock_sharded.py).
+        mx, my = cfg.mesh_shape
+        lxs, lys = cfg.nx // mx, cfg.ny // my
+        from .kernels import pallas_pull as _pp
+
+        tblock_fits = (
+            my == 1 and not cfg.van_driest and cfg.ny % 128 == 0
+            and lxs >= 256 and not _pp._is_small_field(lxs, lys)
+        )
+        if opts.backend == "sharded-tblock" or (
+            opts.backend == "auto" and pallas_ok and tblock_fits
+        ):
+            from .kernels.pallas_pull_tblock_sharded import (
+                make_sharded_tblock_runner,
+            )
+
+            runner = lambda n: make_sharded_tblock_runner(cfg, n, mesh,
+                                                          k_steps=16)
+            name = "sharded-tblock"
+        elif opts.backend == "sharded-pallas" or (
+            opts.backend == "auto" and pallas_ok
         ):
             from .kernels.pallas_pull_sharded import make_sharded_pallas_runner
 
