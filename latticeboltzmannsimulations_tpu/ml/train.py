@@ -171,9 +171,11 @@ def train(
     history = {"loss": [], "val_loss": []}
     steps_per_epoch = max(1, len(tr_idx) // batch_size)
     shuffle_rng = np.random.default_rng(seed)
+    va = jnp.asarray(va_idx)
+    vaux = None if aux is None else aux[va]
     for ep in range(epochs):
         order = shuffle_rng.permutation(tr_idx)
-        ep_loss = 0.0
+        losses = []
         for s in range(steps_per_epoch):
             bi = order[s * batch_size : (s + 1) * batch_size]
             bi = jnp.asarray(bi)
@@ -181,11 +183,10 @@ def train(
             params, opt_state, loss = update(
                 params, opt_state, x[bi], auxb, y[bi]
             )
-            ep_loss += float(loss)
-        va = jnp.asarray(va_idx)
-        vaux = None if aux is None else aux[va]
+            losses.append(loss)  # device scalar; fetched once per epoch
+        ep_loss = float(jnp.mean(jnp.stack(losses)))
         vl = float(eval_loss(params, x[va], vaux, y[va]))
-        history["loss"].append(ep_loss / steps_per_epoch)
+        history["loss"].append(ep_loss)
         history["val_loss"].append(vl)
         if verbose:
             print(f"[{preset_name}/{component}] epoch {ep + 1}/{epochs} "
