@@ -42,7 +42,8 @@ def make_runner(name: str, cfg, steps: int, mesh_shape):
     if name == "tblock":
         from latticeboltzmannsimulations_tpu.kernels import pallas_pull_tblock
 
-        return pallas_pull_tblock.make_scan_runner(cfg, steps), lambda s: s
+        return (pallas_pull_tblock.make_scan_runner(cfg, steps, k_steps=16),
+                lambda s: s)
     from latticeboltzmannsimulations_tpu.parallel import make_mesh, shard_state
 
     mesh = make_mesh(mesh_shape)

@@ -124,6 +124,8 @@ def main() -> int:
     ap.add_argument("--early-preset", default="cnn_one",
                     help="'' disables the 192² sanity training")
     ap.add_argument("--early-epochs", type=int, default=100)
+    ap.add_argument("--fine-tune-epochs", type=int, default=30,
+                    help="0 disables the CNN_test-parity fine-tune pass")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -137,7 +139,8 @@ def main() -> int:
         print(f"[{time.time() - t_start:8.1f}s] {msg}", flush=True)
 
     ds = datagen.load_dataset(data_dir)
-    meta = json.load(open(os.path.join(data_dir, "metadata.json")))
+    meta_path = os.path.join(data_dir, "metadata.json")
+    meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
     u_lid = meta.get("u_lid", 0.08)
     log(f"dataset: {ds.f_final.shape} from {data_dir}")
     train_ds, held = split_dataset(ds, HELD_OUT)
@@ -160,6 +163,28 @@ def main() -> int:
                               for c in results},
             "held_out_eval": recs,
         }
+        if args.fine_tune_epochs and name == "cnn_eight":
+            # CNN_test parity at native scale: reload the saved weights and
+            # refit at RMSprop lr=1e-4 (reference: CNN_test.py:100-106).
+            ft = {}
+            for comp in components:
+                res = tr.fine_tune(name, data, results[comp].params,
+                                   component=comp,
+                                   epochs=args.fine_tune_epochs)
+                ft[comp] = res
+                log(f"{name}/{comp} fine-tune: val MSE "
+                    f"{results[comp].history['val_loss'][-1]:.3e} -> "
+                    f"{res.history['val_loss'][-1]:.3e}")
+                tr.save_weights(res, os.path.join(out_dir, "fine_tuned"),
+                                scalers=data.scalers)
+            ft_recs = evaluate(name, ft, data, ds, held, u_lid,
+                               os.path.join(out_dir, "fine_tuned"), log)
+            summary["models"][name]["fine_tuned"] = {
+                "epochs": args.fine_tune_epochs,
+                "final_val_mse": {c: ft[c].history["val_loss"][-1]
+                                  for c in ft},
+                "held_out_eval": ft_recs,
+            }
         with open(os.path.join(out_root, "summary.json"), "w") as fh:
             json.dump(summary, fh, indent=1)
 
