@@ -153,7 +153,8 @@ def _generate_stacked_pallas(cfg, re_values, n_cav, progress, on_batch=None):
                 f"{int((hits[:b] > cfg.convergence_hits).sum())}/{b} converged"
             )
         if on_batch is not None:
-            on_batch(res, f_final[lo:hi], u_final[lo:hi], steps)
+            on_batch(res, f_final[lo:hi], u_final[lo:hi], steps,
+                     hits[:b] > cfg.convergence_hits)
     return DatasetArrays(re_range=re_values, feq_initial=feq_initial,
                          f_final=f_final, u_final=u_final)
 
@@ -216,9 +217,10 @@ def generate_dataset(
     ``cfg.convergence_tol`` / ``cfg.convergence_hits`` / ``cfg.max_steps``
     with checks every ``cfg.report_interval`` steps.
 
-    ``on_batch(res, f_chunk, u_chunk, steps)`` fires after each completed
-    batch (stacked-TPU path) so multi-hour sweeps can persist incrementally
-    and resume by re-running with only the missing ``re_values``.
+    ``on_batch(res, f_chunk, u_chunk, steps, converged)`` fires after each
+    completed batch (``converged`` is the per-cavity bool vector) so
+    multi-hour sweeps can persist incrementally and resume by re-running
+    with only the missing ``re_values``.
     """
     if re_values is None:
         re_values = np.arange(100, 5100, 10, dtype=np.float64)  # 500 runs
@@ -288,7 +290,8 @@ def generate_dataset(
         f_final[lo:hi] = np.asarray(state.f)
         u_final[lo:hi] = np.asarray(u_b)
         if on_batch is not None:
-            on_batch(res, f_final[lo:hi], u_final[lo:hi], steps)
+            on_batch(res, f_final[lo:hi], u_final[lo:hi], steps,
+                     hits > cfg.convergence_hits)
 
     return DatasetArrays(
         re_range=re_values,

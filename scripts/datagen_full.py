@@ -82,10 +82,11 @@ def main() -> int:
     t_start = time.time()
     log_path = os.path.join(out_dir, "progress.jsonl")
 
-    def on_batch(res, f_chunk, u_chunk, steps):
+    def on_batch(res, f_chunk, u_chunk, steps, converged):
         np.savez_compressed(
             chunk_path(float(res[0])), re=res,
             f_final=f_chunk, u_final=u_chunk, steps=steps,
+            converged=converged,
         )
         with open(log_path, "a") as fh:
             fh.write(json.dumps({
