@@ -79,10 +79,13 @@ def _make_kernel(cfg: SimConfig, lx: int, tile_x: int, k_steps: int, kp: int,
         m_right = gcol == nx - 1
         m_bot = lane == ny - 1
         m_lid = lane == 0
-        corner = jnp.logical_or(m_left[:, 0], m_right[:, 0])  # (W,)
+        # All lid-density bookkeeping stays 2-D (W, 1): Mosaic rejects the
+        # 1-D slice/gather forms (compiled-path constraint; interpret mode
+        # accepts both).
+        corner = jnp.logical_or(m_left[:, 0:1], m_right[:, 0:1])  # (W, 1)
 
         fs = [scratch[k, :, :] for k in range(lattice.Q)]
-        rho_lid_vec = scratch_l[:, 0]  # (W,)
+        rho_l = scratch_l[:, 0:1]  # (W, 1) lid-density carry
 
         for _s in range(k_steps):
             gs = []
@@ -100,8 +103,7 @@ def _make_kernel(cfg: SimConfig, lx: int, tile_x: int, k_steps: int, kp: int,
             gs[2] = jnp.where(m_bot, gs[4], gs[2])
             gs[5] = jnp.where(m_bot, gs[7], gs[5])
             gs[6] = jnp.where(m_bot, gs[8], gs[6])
-            mom_col = jnp.where(corner, 0.0, rho_lid_vec * (u_lid / 6.0))
-            mom = mom_col[:, None]
+            mom = jnp.where(corner, 0.0, rho_l * (u_lid / 6.0))  # (W, 1)
             gs[4] = jnp.where(m_lid, gs[2], gs[4])
             gs[7] = jnp.where(m_lid, gs[5] - mom, gs[7])
             gs[8] = jnp.where(m_lid, gs[6] + mom, gs[8])
@@ -119,13 +121,13 @@ def _make_kernel(cfg: SimConfig, lx: int, tile_x: int, k_steps: int, kp: int,
             feq = equilibrium(rho, u)
             f_new = _collide(cfg, g, feq, rho)
             fs = [f_new[k] for k in range(lattice.Q)]
-            rho_lid_vec = rho[:, 0]
+            rho_l = rho[:, 0:1]
 
         f_out_ref[:, :, :] = jnp.stack(
             [p[2 * kp : 2 * kp + tile_x, :] for p in fs]
         )
         rho_out_ref[:, :] = jnp.broadcast_to(
-            rho_lid_vec[2 * kp : 2 * kp + tile_x, None], (tile_x, 128)
+            rho_l[2 * kp : 2 * kp + tile_x, :], (tile_x, 128)
         )
 
     return kernel

@@ -102,14 +102,15 @@ def main() -> int:
             ).validate()
             try:
                 runner, prep = make_runner(name, cfg, args.steps, mesh_shape)
-            except (ValueError, ImportError) as e:
-                print(f"{name}@{size}: skipped ({e})", flush=True)
+                state = prep(engine.init_state(cfg))
+                t0 = time.perf_counter()
+                state = runner(state)      # warmup: absorbs compile
+                _force(state.f)
+                t_compile = time.perf_counter() - t0
+            except Exception as e:
+                print(f"{name}@{size}: FAILED ({type(e).__name__}: "
+                      f"{str(e)[:200]})", flush=True)
                 continue
-            state = prep(engine.init_state(cfg))
-            t0 = time.perf_counter()
-            state = runner(state)          # warmup: absorbs compile
-            _force(state.f)
-            t_compile = time.perf_counter() - t0
             t0 = time.perf_counter()
             for _ in range(args.chunks):
                 state = runner(state)
