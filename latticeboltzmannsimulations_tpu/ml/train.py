@@ -129,11 +129,19 @@ def train(
     seed: int = 0,
     init_params: Optional[dict] = None,
     verbose: bool = False,
+    optimizer: Optional[str] = None,
 ) -> TrainResult:
     """Train one velocity-component surrogate.  Pass ``init_params`` to
     fine-tune from saved weights at a lower LR (the ``CNN_test.py``
-    capability, reference: ``CNN_test.py:100-106``)."""
+    capability, reference: ``CNN_test.py:100-106``).
+
+    ``optimizer`` overrides the preset's choice ('rmsprop' | 'adam').
+    Measured on TPU at native 384²: optax RMSprop plateaus at the
+    mean-predictor MSE for every LR probed (1e-4..1e-3) while Adam
+    descends normally, so full-resolution runs should pass 'adam'."""
     preset = PRESETS[preset_name]
+    if optimizer is not None:
+        preset = dataclasses.replace(preset, optimizer=optimizer)
     model = make_model(preset_name)
     from .models import check_grid
 

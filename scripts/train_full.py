@@ -60,14 +60,15 @@ def downsample(ds, k=2):
     )
 
 
-def train_model(name, data, components, epochs_scale, out_dir, log):
+def train_model(name, data, components, epochs_scale, out_dir, log,
+                optimizer=None):
     preset = PRESETS[name]
     results = {}
     for comp in components:
         epochs = max(1, int(round(preset.epochs * epochs_scale)))
         t0 = time.time()
         res = tr.train(name, data, component=comp, epochs=epochs,
-                       verbose=False)
+                       verbose=False, optimizer=optimizer)
         dt = time.time() - t0
         tr.save_weights(res, out_dir, scalers=data.scalers)
         tr.plot_history(res.history,
@@ -126,6 +127,10 @@ def main() -> int:
     ap.add_argument("--early-epochs", type=int, default=100)
     ap.add_argument("--fine-tune-epochs", type=int, default=30,
                     help="0 disables the CNN_test-parity fine-tune pass")
+    ap.add_argument("--optimizer", default="adam",
+                    help="override every preset's optimizer (TPU 384²: "
+                         "RMSprop plateaus at the mean predictor; see "
+                         "ml/train.py). '' keeps per-preset choices.")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -156,7 +161,7 @@ def main() -> int:
         os.makedirs(out_dir, exist_ok=True)
         data = tr.prepare_inputs(train_ds, PRESETS[name], u_lid=u_lid)
         results = train_model(name, data, components, args.epochs_scale,
-                              out_dir, log)
+                              out_dir, log, optimizer=args.optimizer or None)
         recs = evaluate(name, results, data, ds, held, u_lid, out_dir, log)
         summary["models"][name] = {
             "final_val_mse": {c: results[c].history["val_loss"][-1]
@@ -170,7 +175,8 @@ def main() -> int:
             for comp in components:
                 res = tr.fine_tune(name, data, results[comp].params,
                                    component=comp,
-                                   epochs=args.fine_tune_epochs)
+                                   epochs=args.fine_tune_epochs,
+                                   optimizer=args.optimizer or None)
                 ft[comp] = res
                 log(f"{name}/{comp} fine-tune: val MSE "
                     f"{results[comp].history['val_loss'][-1]:.3e} -> "
@@ -197,7 +203,8 @@ def main() -> int:
         os.makedirs(out_dir, exist_ok=True)
         ds192 = downsample(train_ds, 2)
         data = tr.prepare_inputs(ds192, PRESETS[name], u_lid=u_lid)
-        res = tr.train(name, data, component="x", epochs=args.early_epochs)
+        res = tr.train(name, data, component="x", epochs=args.early_epochs,
+                       optimizer=args.optimizer or None)
         tr.save_weights(res, out_dir, scalers=data.scalers)
         tr.plot_history(res.history,
                         os.path.join(out_dir, f"{name}_x_loss.png"))
