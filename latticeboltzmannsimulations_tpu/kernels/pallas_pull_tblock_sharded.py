@@ -48,7 +48,6 @@ def _make_kernel(cfg: SimConfig, lx: int, tile_x: int, k_steps: int, kp: int,
                  interpret: bool):
     nx, ny = cfg.nx, cfg.ny
     u_lid = cfg.u_lid
-    n_tiles = lx // tile_x
     w = tile_x + 4 * kp  # window width; own cols at offset 2*kp
 
     def kernel(xoff_ref, rho_panel, f_hbm, f_out_ref, rho_out_ref,
