@@ -144,3 +144,22 @@ def test_check_grid_constraint():
     check_grid(PRESETS["cnn_eight"], 192, 192)
     with pytest.raises(ValueError):
         check_grid(PRESETS["cnn_eight"], 128, 128)
+
+
+def test_datagen_on_batch_receives_convergence_flags():
+    """on_batch(res, f, u, steps, converged) — the incremental-persistence
+    contract datagen_full/datagen_topup rely on (chunks record per-cavity
+    convergence so capped batches can be resumed)."""
+    cfg = _datagen_cfg(32)
+    calls = []
+    generate_dataset(
+        cfg, re_values=np.array([100.0, 150.0, 200.0]), batch_size=2,
+        on_batch=lambda res, f, u, steps, converged: calls.append(
+            (res.copy(), f.shape, steps, np.asarray(converged).copy())),
+    )
+    assert [len(c[0]) for c in calls] == [2, 1]
+    for res, fshape, steps, converged in calls:
+        assert fshape == (len(res), 9, cfg.nx, cfg.ny)
+        assert converged.shape == (len(res),)
+        assert converged.dtype == np.bool_
+        assert 0 < steps <= cfg.max_steps
