@@ -169,7 +169,12 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
         if n_buf == 2:
             slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
 
-            @pl.when(first)
+            # Prologue must fire ONLY at the very first grid program.  In
+            # stacked-cavity mode `first` is per-cavity (pos == 0): using it
+            # here would start a second DMA into a slot the previous program
+            # already prefetched, leaving surplus semaphore credit so a later
+            # wait() could return before its copy lands (stale window reads).
+            @pl.when(i == 0)
             def _():
                 window_dma(i, slot).start()
 
