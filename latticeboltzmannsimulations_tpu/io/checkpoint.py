@@ -68,14 +68,17 @@ class Checkpointer:
     last finite ("good") one for blow-up recovery."""
 
     def __init__(self, directory: str, cfg: SimConfig, every: int = 0,
-                 keep: int = 2):
+                 keep: int = 2, start_step: int = 0):
         self.directory = directory
         self.cfg = cfg
         self.every = every
         self.keep = keep
         self._saved: list[str] = []
         self.last_good: Optional[str] = None
-        self._last_saved_step: Optional[int] = None
+        # Seed the save clock from the resume point: a fresh Checkpointer in
+        # a resumed run would otherwise measure ``since`` from step 0 and
+        # write a redundant checkpoint at the first report interval.
+        self._last_saved_step: Optional[int] = start_step or None
 
     def __call__(self, step: int, state: State, rho, u) -> None:
         # The caller only invokes this at report-interval multiples, so an

@@ -39,6 +39,10 @@ class DatasetArrays:
     feq_initial: np.ndarray  # (9, X, Y)
     f_final: np.ndarray      # (N, 9, X, Y)
     u_final: np.ndarray      # (N, 2, X, Y)
+    # Quarantined runs: a cavity that diverged mid-sweep is marked here and
+    # its f/u slots zeroed; the rest of the batch completes (the reference's
+    # sequential per-run loop simply moved on past a blown-up Re).
+    failed: Optional[np.ndarray] = None  # (N,) bool
 
 
 def _batched_runner(cfg: SimConfig, chunk_steps: int):
@@ -105,6 +109,7 @@ def _generate_stacked_pallas(cfg, re_values, n_cav, progress, on_batch=None):
 
     f_final = np.empty((n, 9, nx, ny), dtype=feq_initial.dtype)
     u_final = np.empty((n, 2, nx, ny), dtype=feq_initial.dtype)
+    failed = np.zeros(n, dtype=bool)
 
     for lo in range(0, n, n_cav):
         hi = min(lo + n_cav, n)
@@ -123,6 +128,7 @@ def _generate_stacked_pallas(cfg, re_values, n_cav, progress, on_batch=None):
         )
         mean_past = np.full(n_cav, np.inf)
         hits = np.zeros(n_cav, dtype=int)
+        fail_b = np.zeros(n_cav, dtype=bool)
         steps = 0
         while steps < cfg.max_steps:
             state = runner(state, omegas)
@@ -131,32 +137,45 @@ def _generate_stacked_pallas(cfg, re_values, n_cav, progress, on_batch=None):
             state = engine.State(f=f, rho_lid=rho_lid)
             # f64 accumulation on the host (x64 is disabled on TPU)
             mean_u = np.asarray(u_b).mean(axis=(1, 2, 3), dtype=np.float64)
-            if not np.all(np.isfinite(mean_u[:b])):
-                bad = res[~np.isfinite(mean_u[:b])]
-                raise FloatingPointError(
-                    f"divergence in sweep batch at Re={bad.tolist()}"
-                )
+            # Quarantine diverged cavities: the stacked cavities are isolated
+            # (cross-boundary gathers land only in wall-rewritten
+            # populations), so a NaN slot cannot leak — mark it failed and
+            # let the rest of the batch run on.
+            newly = ~np.isfinite(mean_u) & ~fail_b
+            if np.any(newly[:b]):
+                fail_b |= newly
+                if progress is not None:
+                    progress(
+                        f"quarantined diverged Re={res[newly[:b]].tolist()} "
+                        f"at step {steps}"
+                    )
             done = np.abs(mean_u - mean_past) / cfg.u_lid < cfg.convergence_tol
             hits = np.where(done, hits + 1, 0)
             mean_past = mean_u
-            if np.all(hits[:b] > cfg.convergence_hits):
+            if np.all((hits[:b] > cfg.convergence_hits) | fail_b[:b]):
                 break
         # Final observables from the converged (renormed) state.
         fb = state.f.reshape(9, n_cav, nx, ny).transpose(1, 0, 2, 3)
         lidb = state.rho_lid.reshape(n_cav, nx)
         _, u_b = obs_b(engine.State(f=fb, rho_lid=lidb))
-        f_final[lo:hi] = np.asarray(fb)[:b]
-        u_final[lo:hi] = np.asarray(u_b)[:b]
+        f_c, u_c = np.asarray(fb)[:b], np.asarray(u_b)[:b]
+        if fail_b[:b].any():  # np.asarray of a jax array is read-only
+            f_c, u_c = f_c.copy(), u_c.copy()
+            f_c[fail_b[:b]] = 0.0
+            u_c[fail_b[:b]] = 0.0
+        f_final[lo:hi], u_final[lo:hi] = f_c, u_c
+        failed[lo:hi] = fail_b[:b]
         if progress is not None:
             progress(
                 f"Re[{lo}:{hi}] ({res[0]:g}..{res[-1]:g}): {steps} steps, "
                 f"{int((hits[:b] > cfg.convergence_hits).sum())}/{b} converged"
+                + (f", {int(fail_b[:b].sum())} failed" if fail_b[:b].any() else "")
             )
         if on_batch is not None:
             on_batch(res, f_final[lo:hi], u_final[lo:hi], steps,
-                     hits[:b] > cfg.convergence_hits)
+                     hits[:b] > cfg.convergence_hits, fail_b[:b])
     return DatasetArrays(re_range=re_values, feq_initial=feq_initial,
-                         f_final=f_final, u_final=u_final)
+                         f_final=f_final, u_final=u_final, failed=failed)
 
 
 def _generate_sequential_pallas(cfg, re_values, progress):
@@ -172,6 +191,7 @@ def _generate_sequential_pallas(cfg, re_values, progress):
 
     f_final = np.empty((n, 9, cfg.nx, cfg.ny), dtype=feq_initial.dtype)
     u_final = np.empty((n, 2, cfg.nx, cfg.ny), dtype=feq_initial.dtype)
+    failed = np.zeros(n, dtype=bool)
     for idx, re in enumerate(re_values):
         omega = jnp.asarray(
             dataclasses.replace(cfg, reynolds=float(re)).omega, cfg.dtype)
@@ -186,7 +206,10 @@ def _generate_sequential_pallas(cfg, re_values, progress):
                                  rho_lid=state.rho_lid * scale)
             mean_u = float(np.asarray(u).mean(dtype=np.float64))
             if not np.isfinite(mean_u):
-                raise FloatingPointError(f"divergence in sweep at Re={re}")
+                failed[idx] = True  # quarantine and move to the next Re
+                if progress is not None:
+                    progress(f"quarantined diverged Re={re:g} at step {steps}")
+                break
             if abs(mean_u - mean_past) / cfg.u_lid < cfg.convergence_tol:
                 hits += 1
                 if hits > cfg.convergence_hits:
@@ -194,13 +217,17 @@ def _generate_sequential_pallas(cfg, re_values, progress):
             else:
                 hits = 0
             mean_past = mean_u
-        rho, u = obs(state)
-        f_final[idx] = np.asarray(state.f)
-        u_final[idx] = np.asarray(u)
+        if failed[idx]:
+            f_final[idx] = 0.0
+            u_final[idx] = 0.0
+        else:
+            rho, u = obs(state)
+            f_final[idx] = np.asarray(state.f)
+            u_final[idx] = np.asarray(u)
         if progress is not None and (idx + 1) % 25 == 0:
             progress(f"Re {re:g} ({idx + 1}/{n}): {steps} steps")
     return DatasetArrays(re_range=re_values, feq_initial=feq_initial,
-                         f_final=f_final, u_final=u_final)
+                         f_final=f_final, u_final=u_final, failed=failed)
 
 
 def generate_dataset(
@@ -217,10 +244,12 @@ def generate_dataset(
     ``cfg.convergence_tol`` / ``cfg.convergence_hits`` / ``cfg.max_steps``
     with checks every ``cfg.report_interval`` steps.
 
-    ``on_batch(res, f_chunk, u_chunk, steps, converged)`` fires after each
-    completed batch (``converged`` is the per-cavity bool vector) so
-    multi-hour sweeps can persist incrementally and resume by re-running
-    with only the missing ``re_values``.
+    ``on_batch(res, f_chunk, u_chunk, steps, converged, failed)`` fires after
+    each completed batch (``converged`` / ``failed`` are per-cavity bool
+    vectors) so multi-hour sweeps can persist incrementally and resume by
+    re-running with only the missing ``re_values``.  A cavity that diverges
+    is quarantined — marked in ``failed`` with zeroed fields — and the rest
+    of the sweep continues.
     """
     if re_values is None:
         re_values = np.arange(100, 5100, 10, dtype=np.float64)  # 500 runs
@@ -243,6 +272,7 @@ def generate_dataset(
 
     f_final = np.empty((n, 9, cfg.nx, cfg.ny), dtype=feq_initial.dtype)
     u_final = np.empty((n, 2, cfg.nx, cfg.ny), dtype=feq_initial.dtype)
+    failed = np.zeros(n, dtype=bool)
 
     for lo in range(0, n, batch_size):
         hi = min(lo + batch_size, n)
@@ -258,6 +288,7 @@ def generate_dataset(
         )
         mean_past = np.full(b, np.inf)
         hits = np.zeros(b, dtype=int)
+        fail_b = np.zeros(b, dtype=bool)
         steps = 0
         while steps < cfg.max_steps:
             state = runner(state, omegas)
@@ -271,33 +302,44 @@ def generate_dataset(
             )
             # f64 accumulation on the host (x64 is disabled on TPU)
             mean_u = np.asarray(u).mean(axis=(1, 2, 3), dtype=np.float64)
-            if not np.all(np.isfinite(mean_u)):
-                bad = res[~np.isfinite(mean_u)]
-                raise FloatingPointError(
-                    f"divergence in sweep batch at Re={bad.tolist()}"
-                )
+            # Quarantine diverged runs (vmapped batch lanes are independent).
+            newly = ~np.isfinite(mean_u) & ~fail_b
+            if np.any(newly):
+                fail_b |= newly
+                if progress is not None:
+                    progress(
+                        f"quarantined diverged Re={res[newly].tolist()} "
+                        f"at step {steps}"
+                    )
             done = np.abs(mean_u - mean_past) / cfg.u_lid < cfg.convergence_tol
             hits = np.where(done, hits + 1, 0)
             mean_past = mean_u
-            if np.all(hits > cfg.convergence_hits):
+            if np.all((hits > cfg.convergence_hits) | fail_b):
                 break
         if progress is not None:
             progress(
                 f"Re[{lo}:{hi}] ({res[0]:g}..{res[-1]:g}): {steps} steps, "
                 f"{int((hits > cfg.convergence_hits).sum())}/{b} converged"
+                + (f", {int(fail_b.sum())} failed" if fail_b.any() else "")
             )
         rho_b, u_b = obs(state)
-        f_final[lo:hi] = np.asarray(state.f)
-        u_final[lo:hi] = np.asarray(u_b)
+        f_c, u_c = np.asarray(state.f), np.asarray(u_b)
+        if fail_b.any():  # np.asarray of a jax array is read-only
+            f_c, u_c = f_c.copy(), u_c.copy()
+            f_c[fail_b] = 0.0
+            u_c[fail_b] = 0.0
+        f_final[lo:hi], u_final[lo:hi] = f_c, u_c
+        failed[lo:hi] = fail_b
         if on_batch is not None:
             on_batch(res, f_final[lo:hi], u_final[lo:hi], steps,
-                     hits > cfg.convergence_hits)
+                     hits > cfg.convergence_hits, fail_b)
 
     return DatasetArrays(
         re_range=re_values,
         feq_initial=feq_initial,
         f_final=f_final,
         u_final=u_final,
+        failed=failed,
     )
 
 

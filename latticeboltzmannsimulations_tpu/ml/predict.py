@@ -88,9 +88,38 @@ def predict_velocity(
 
 
 def lbm_reference(cfg: SimConfig) -> np.ndarray:
-    """Fresh LBM solution for comparison; returns ``u (2, nx, ny)``."""
-    res = engine.run_to_convergence(cfg)
-    _, u = jax.jit(lambda s: engine.observables(cfg, s))(res.state)
+    """Fresh LBM solution for comparison; returns ``u (2, nx, ny)``.
+
+    Routed through the simulation backend router so the comparison runs on
+    the Pallas kernel on TPU (the fused-jit engine it previously hardwired
+    is ~6x slower there); the kernels are pinned bit-for-bit to the fused
+    step, so the trajectory is unchanged.  Convergence semantics match
+    ``engine.run_to_convergence`` (no mass correction).
+    """
+    from ..sim import SimOptions, _select_backend
+
+    cfg.validate()
+    runner_factory, obs, prep, _ = _select_backend(cfg, SimOptions())
+    chunk = max(1, cfg.report_interval)
+    runner = runner_factory(chunk)
+    state = prep(engine.init_state(cfg))
+    mean_past, hits, steps = np.inf, 0, 0
+    u = None
+    while steps < cfg.max_steps:
+        state = runner(state)
+        steps += chunk
+        _, u = obs(state)
+        mean_u = float(np.mean(np.asarray(u), dtype=np.float64))
+        if not np.isfinite(mean_u):
+            raise FloatingPointError(
+                f"LBM reference diverged at step {steps}")
+        if abs(mean_u - mean_past) / cfg.u_lid < cfg.convergence_tol:
+            hits += 1
+            if hits > cfg.convergence_hits:
+                break
+        else:
+            hits = 0
+        mean_past = mean_u
     return np.asarray(u)
 
 

@@ -107,17 +107,17 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
         pallas_ok = (
             on_tpu and cfg.precision == "float32" and cfg.boundary == "nebb"
         )
-        # x-only meshes on HBM-bound per-shard grids: temporal blocking
-        # amortizes the ICI exchange over K steps (kernels/
-        # pallas_pull_tblock_sharded.py).
+        # HBM-bound per-shard grids: temporal blocking amortizes the ICI
+        # exchange over K steps (kernels/pallas_pull_tblock_sharded.py).
         mx, my = cfg.mesh_shape
         lxs, lys = cfg.nx // mx, cfg.ny // my
         from .kernels import pallas_pull as _pp
 
         tblock_fits = (
-            my == 1 and not cfg.van_driest and cfg.ny % 128 == 0
+            not cfg.van_driest and cfg.ny % 128 == 0
             and lxs >= 256 and not _pp._is_small_field(lxs, lys)
         )
+        runner = name = None
         if opts.backend == "sharded-tblock" or (
             opts.backend == "auto" and pallas_ok and tblock_fits
         ):
@@ -125,9 +125,22 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
                 make_sharded_tblock_runner,
             )
 
-            runner = lambda n: make_sharded_tblock_runner(cfg, n, mesh,
-                                                          k_steps=16)
-            name = "sharded-tblock"
+            # Eager constraint probe (tile_x >= 2K', tile divisibility, lane
+            # layout): constructing a 0-step runner runs the same validation
+            # as the real one without compiling anything.  'auto' falls back
+            # to the per-step sharded kernel on rejection; an explicit
+            # backend request surfaces the error.
+            try:
+                make_sharded_tblock_runner(cfg, 0, mesh, k_steps=16)
+            except ValueError:
+                if opts.backend == "sharded-tblock":
+                    raise
+            else:
+                runner = lambda n: make_sharded_tblock_runner(cfg, n, mesh,
+                                                              k_steps=16)
+                name = "sharded-tblock"
+        if runner is not None:
+            pass
         elif opts.backend == "sharded-pallas" or (
             opts.backend == "auto" and pallas_ok
         ):
@@ -194,7 +207,7 @@ def simulate(cfg: SimConfig, opts: Optional[SimOptions] = None) -> SimSummary:
     )
     ckpt = (
         Checkpointer(os.path.join(opts.out_dir, "ckpt"), cfg,
-                     every=opts.checkpoint_every)
+                     every=opts.checkpoint_every, start_step=start_step)
         if opts.checkpoint_every else None
     )
 

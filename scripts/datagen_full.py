@@ -82,16 +82,19 @@ def main() -> int:
     t_start = time.time()
     log_path = os.path.join(out_dir, "progress.jsonl")
 
-    def on_batch(res, f_chunk, u_chunk, steps, converged):
+    def on_batch(res, f_chunk, u_chunk, steps, converged, failed=None):
+        if failed is None:
+            failed = np.zeros(len(res), dtype=bool)
         np.savez_compressed(
             chunk_path(float(res[0])), re=res,
             f_final=f_chunk, u_final=u_chunk, steps=steps,
-            converged=converged,
+            converged=converged, failed=failed,
         )
         with open(log_path, "a") as fh:
             fh.write(json.dumps({
                 "re_lo": float(res[0]), "re_hi": float(res[-1]),
-                "steps": int(steps), "elapsed_s": round(time.time() - t_start, 1),
+                "steps": int(steps), "failed": int(np.sum(failed)),
+                "elapsed_s": round(time.time() - t_start, 1),
             }) + "\n")
 
     def progress(msg):

@@ -116,6 +116,21 @@ def test_checkpointer_saves_when_every_not_multiple_of_interval(tmp_path):
     assert files == ["ckpt_00000100.npz", "ckpt_00000200.npz"]
 
 
+def test_checkpointer_resume_seeds_save_clock(tmp_path):
+    # After a resume, the save clock must measure from the resume step, not
+    # step 0 — otherwise the first interval callback re-saves immediately
+    # even when a checkpoint was just written before the restart.
+    cfg = SimConfig(nx=32, ny=32, reynolds=100.0)
+    state = engine.init_state(cfg)
+    ck = Checkpointer(str(tmp_path), cfg, every=100, keep=2, start_step=500)
+    rho, u = engine.observables(cfg, state)
+    ck(550, state, rho, u)   # only 50 steps since resume: no save
+    assert not [p for p in os.listdir(tmp_path) if p.endswith(".npz")]
+    ck(600, state, rho, u)   # 100 steps since resume: saves
+    files = [p for p in os.listdir(tmp_path) if p.endswith(".npz")]
+    assert files == ["ckpt_00000600.npz"]
+
+
 def test_metrics_logger(tmp_path):
     path = str(tmp_path / "m.jsonl")
     with MetricsLogger(path) as m:

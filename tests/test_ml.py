@@ -147,19 +147,40 @@ def test_check_grid_constraint():
 
 
 def test_datagen_on_batch_receives_convergence_flags():
-    """on_batch(res, f, u, steps, converged) — the incremental-persistence
-    contract datagen_full/datagen_topup rely on (chunks record per-cavity
-    convergence so capped batches can be resumed)."""
+    """on_batch(res, f, u, steps, converged, failed) — the incremental-
+    persistence contract datagen_full/datagen_topup rely on (chunks record
+    per-cavity convergence so capped batches can be resumed)."""
     cfg = _datagen_cfg(32)
     calls = []
     generate_dataset(
         cfg, re_values=np.array([100.0, 150.0, 200.0]), batch_size=2,
-        on_batch=lambda res, f, u, steps, converged: calls.append(
-            (res.copy(), f.shape, steps, np.asarray(converged).copy())),
+        on_batch=lambda res, f, u, steps, converged, failed: calls.append(
+            (res.copy(), f.shape, steps, np.asarray(converged).copy(),
+             np.asarray(failed).copy())),
     )
     assert [len(c[0]) for c in calls] == [2, 1]
-    for res, fshape, steps, converged in calls:
+    for res, fshape, steps, converged, failed in calls:
         assert fshape == (len(res), 9, cfg.nx, cfg.ny)
         assert converged.shape == (len(res),)
         assert converged.dtype == np.bool_
+        assert not failed.any()
         assert 0 < steps <= cfg.max_steps
+
+
+def test_datagen_quarantines_diverging_cavity():
+    """A diverging Re in a batch must not kill the sweep: it is marked
+    failed with zeroed fields and the rest of the batch completes
+    (the reference's per-run loop simply moved past a blown-up Re,
+    MRT_GPU_datagen.py:55-69)."""
+    cfg = _datagen_cfg(32)
+    # A negative Reynolds number gives tau < 0.5 (omega > 2): guaranteed
+    # blow-up within a few steps, in-batch with two stable runs.
+    ds = generate_dataset(
+        cfg, re_values=np.array([100.0, -50.0, 200.0]), batch_size=3,
+    )
+    assert ds.failed is not None
+    assert ds.failed.tolist() == [False, True, False]
+    assert np.all(ds.f_final[1] == 0.0) and np.all(ds.u_final[1] == 0.0)
+    for i in (0, 2):
+        assert np.all(np.isfinite(ds.f_final[i]))
+        assert np.abs(ds.u_final[i]).max() > 0.0
