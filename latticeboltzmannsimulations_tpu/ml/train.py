@@ -105,7 +105,17 @@ def train_val_split(n: int, val_frac: float = 0.2, seed: int = 4):
 # Training loop
 # ---------------------------------------------------------------------------
 
-def _optimizer(preset: CNNPreset, lr: float):
+def _optimizer(preset: CNNPreset, lr, schedule: Optional[str] = None,
+               total_steps: int = 0):
+    """``schedule``: None (constant) | 'cosine' (decay to lr/100 over the
+    run) | 'plateau' (staircase: /5 at 50% and 80% of the run)."""
+    if schedule == "cosine":
+        lr = optax.cosine_decay_schedule(lr, max(1, total_steps), alpha=0.01)
+    elif schedule == "plateau":
+        lr = optax.piecewise_constant_schedule(
+            lr, {int(total_steps * 0.5): 0.2, int(total_steps * 0.8): 0.2})
+    elif schedule is not None:
+        raise ValueError(f"unknown lr schedule {schedule!r}")
     if preset.optimizer == "adam":
         return optax.adam(lr)
     return optax.rmsprop(lr)
@@ -130,6 +140,7 @@ def train(
     init_params: Optional[dict] = None,
     verbose: bool = False,
     optimizer: Optional[str] = None,
+    schedule: Optional[str] = None,
 ) -> TrainResult:
     """Train one velocity-component surrogate.  Pass ``init_params`` to
     fine-tune from saved weights at a lower LR (the ``CNN_test.py``
@@ -160,7 +171,8 @@ def train(
         params = model.init(rng, *args)["params"]
     else:
         params = init_params
-    tx = _optimizer(preset, learning_rate)
+    tx = _optimizer(preset, learning_rate, schedule=schedule,
+                    total_steps=max(1, len(tr_idx) // batch_size) * epochs)
     opt_state = tx.init(params)
 
     def loss_fn(p, xb, auxb, yb):

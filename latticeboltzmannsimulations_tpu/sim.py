@@ -114,7 +114,8 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
         from .kernels import pallas_pull as _pp
 
         tblock_fits = (
-            not cfg.van_driest and cfg.ny % 128 == 0
+            not cfg.van_driest
+            and (cfg.ny % 128 == 0 or my > 1)  # y-sharded lanes self-pad
             and lxs >= 256 and not _pp._is_small_field(lxs, lys)
         )
         runner = name = None

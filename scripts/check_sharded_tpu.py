@@ -33,7 +33,7 @@ def main() -> int:
 
     mesh = make_mesh((1, 1))
     failures = 0
-    for name in ("sharded-pallas", "sharded-tblock"):
+    for name in ("sharded-pallas", "sharded-tblock", "sharded-tblock-ylanes"):
         t0 = time.perf_counter()
         if name == "sharded-pallas":
             from latticeboltzmannsimulations_tpu.kernels.pallas_pull_sharded import (  # noqa: E501
@@ -46,7 +46,12 @@ def main() -> int:
                 make_sharded_tblock_runner,
             )
 
-            runner = make_sharded_tblock_runner(cfg, n, mesh, k_steps=16)
+            # -ylanes drives the y-sharded halo-lane layout (content-keyed
+            # wall masks, padded lanes, self-exchange rings) through the
+            # compiled Mosaic path — the only way to validate it on 1 chip.
+            runner = make_sharded_tblock_runner(
+                cfg, n, mesh, k_steps=16,
+                force_halo_layout=name.endswith("ylanes"))
         out = runner(shard_state(engine.init_state(cfg), mesh))
         out_f = np.asarray(out.f)
         dt = time.perf_counter() - t0

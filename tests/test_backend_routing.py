@@ -41,10 +41,11 @@ def test_auto_xonly_mesh_large_shards_routes_sharded_tblock(monkeypatch):
     assert _route(cfg, monkeypatch) == "sharded-tblock"
 
 
-def test_auto_2d_mesh_routes_sharded_pallas(monkeypatch):
+def test_auto_2d_mesh_routes_sharded_tblock(monkeypatch):
+    # 2-D pod decompositions get temporal blocking too (halo-lane layout).
     cfg = SimConfig(nx=4096, ny=4096, reynolds=1000.0, precision="float32",
                     mesh_shape=(2, 2))
-    assert _route(cfg, monkeypatch) == "sharded-pallas"
+    assert _route(cfg, monkeypatch) == "sharded-tblock"
 
 
 def test_auto_mesh_on_cpu_routes_jnp_sharded(monkeypatch):

@@ -133,6 +133,23 @@ def test_train_finetune_save_load_predict(small_dataset, tmp_path):
     assert "cnn_vs_lbm_l2" in metrics
 
 
+@pytest.mark.parametrize("schedule", ["cosine", "plateau"])
+def test_train_lr_schedules(small_dataset, schedule):
+    cfg, ds = small_dataset
+    data = ml_train.prepare_inputs(ds, PRESETS["cnn_one"], u_lid=cfg.u_lid)
+    res = ml_train.train("cnn_one", data, component="x", epochs=3,
+                         batch_size=2, schedule=schedule)
+    assert np.isfinite(res.history["loss"]).all()
+
+
+def test_train_rejects_unknown_schedule(small_dataset):
+    cfg, ds = small_dataset
+    data = ml_train.prepare_inputs(ds, PRESETS["cnn_one"], u_lid=cfg.u_lid)
+    with pytest.raises(ValueError, match="schedule"):
+        ml_train.train("cnn_one", data, component="x", epochs=1,
+                       batch_size=2, schedule="warmup")
+
+
 def test_check_grid_constraint():
     from latticeboltzmannsimulations_tpu.ml.models import (
         PRESETS, check_grid, stride_product,

@@ -39,8 +39,47 @@ def test_sharded_tblock_matches_single_chip(mesh_shape, collision, n):
         np.asarray(out.rho_lid), np.asarray(ref.rho_lid))
 
 
-def test_sharded_tblock_rejects_2d_mesh():
-    cfg = SimConfig(nx=64, ny=64, reynolds=400.0, precision="float32",
-                    mesh_shape=(2, 2))
-    with pytest.raises(ValueError, match="x-only"):
-        make_sharded_tblock_runner(cfg, 8, make_mesh((2, 2)), interpret=True)
+@pytest.mark.parametrize("mesh_shape,collision,n", [
+    ((2, 2), "mrt", 16),   # 2-D pod decomposition, exact multiple of K
+    ((2, 4), "srt", 20),   # remainder via the per-step sharded kernel
+    ((4, 2), "trt", 16),
+    ((1, 8), "mrt", 16),   # y-only: every halo image in play, ly == K'
+])
+def test_sharded_tblock_matches_single_chip_2d(mesh_shape, collision, n):
+    """y-sharded meshes: content-keyed wall masks on the ring-wrapped halo
+    lanes must reproduce the trajectory-visible y-wrap bit-for-bit."""
+    cfg = SimConfig(nx=128, ny=64, reynolds=400.0, collision=collision,
+                    precision="float32", mesh_shape=mesh_shape)
+    ref = _ref(cfg, n)
+    mesh = make_mesh(mesh_shape)
+    runner = make_sharded_tblock_runner(cfg, n, mesh, k_steps=8,
+                                        interpret=True)
+    out = runner(shard_state(engine.init_state(cfg), mesh))
+    np.testing.assert_array_equal(np.asarray(out.f), np.asarray(ref.f))
+    np.testing.assert_array_equal(
+        np.asarray(out.rho_lid), np.asarray(ref.rho_lid))
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 1)])
+def test_sharded_tblock_forced_halo_layout(mesh_shape):
+    """force_halo_layout on my == 1 meshes (the single-chip TPU check's
+    compiled-path hook): self-exchange rings must reproduce the wrap."""
+    cfg = SimConfig(nx=128, ny=64, reynolds=400.0, collision="mrt",
+                    precision="float32", mesh_shape=mesh_shape)
+    ref = _ref(cfg, 16)
+    mesh = make_mesh(mesh_shape)
+    runner = make_sharded_tblock_runner(cfg, 16, mesh, k_steps=8,
+                                        interpret=True,
+                                        force_halo_layout=True)
+    out = runner(shard_state(engine.init_state(cfg), mesh))
+    np.testing.assert_array_equal(np.asarray(out.f), np.asarray(ref.f))
+    np.testing.assert_array_equal(
+        np.asarray(out.rho_lid), np.asarray(ref.rho_lid))
+
+
+def test_sharded_tblock_rejects_thin_lane_shards():
+    # ly < K' leaves no room for the halo-depth exchange
+    cfg = SimConfig(nx=64, ny=32, reynolds=400.0, precision="float32",
+                    mesh_shape=(1, 8))
+    with pytest.raises(ValueError, match="narrower than the K'"):
+        make_sharded_tblock_runner(cfg, 8, make_mesh((1, 8)), interpret=True)
