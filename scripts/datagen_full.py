@@ -107,11 +107,21 @@ def main() -> int:
     # Assemble the reference 4-file layout from the chunks.
     print("assembling...", flush=True)
     chunks = {}
+    chunk_stats = []
     for fn in sorted(os.listdir(chunk_dir)):
         if fn.endswith(".npz"):
             z = np.load(os.path.join(chunk_dir, fn))
             for i, r in enumerate(z["re"]):
                 chunks[float(r)] = (z["f_final"][i], z["u_final"][i])
+            b = len(z["re"])
+            conv = (z["converged"] if "converged" in z
+                    else np.zeros(b, dtype=bool))
+            fail = z["failed"] if "failed" in z else np.zeros(b, dtype=bool)
+            chunk_stats.append({
+                "re_lo": float(z["re"][0]), "re_hi": float(z["re"][-1]),
+                "steps": int(z["steps"]), "converged": int(np.sum(conv)),
+                "failed": int(np.sum(fail)), "of": b,
+            })
     missing = [r for r in re_all if float(r) not in chunks]
     if missing:
         print(f"STILL MISSING {len(missing)} Re values: {missing[:5]}...",
@@ -129,10 +139,18 @@ def main() -> int:
         f_final=f_final, u_final=u_final,
     )
     datagen.save_dataset(ds, out_dir)
+    steps_arr = np.asarray([c["steps"] for c in chunk_stats])
     meta = {
         "grid": g, "n": n, "re": [float(re_all[0]), float(re_all[-1])],
         "collision": cfg.collision, "turbulence": cfg.turbulence,
         "u_lid": cfg.u_lid, "max_steps": args.max_steps,
+        # Cumulative per-chunk convergence record (chunks topped up to the
+        # reference-parity 3M budget by scripts/datagen_topup.py report
+        # their total steps + per-cavity converged counts here).
+        "step_budget": int(steps_arr.max()) if len(steps_arr) else 0,
+        "converged_cavities": int(sum(c["converged"] for c in chunk_stats)),
+        "failed_cavities": int(sum(c["failed"] for c in chunk_stats)),
+        "chunks": chunk_stats,
         "shapes": {"f_final": list(f_final.shape),
                    "u_final": list(u_final.shape)},
         "elapsed_s": round(time.time() - t_start, 1),

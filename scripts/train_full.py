@@ -61,14 +61,15 @@ def downsample(ds, k=2):
 
 
 def train_model(name, data, components, epochs_scale, out_dir, log,
-                optimizer=None):
+                optimizer=None, lr=1e-3, schedule=None):
     preset = PRESETS[name]
     results = {}
     for comp in components:
         epochs = max(1, int(round(preset.epochs * epochs_scale)))
         t0 = time.time()
         res = tr.train(name, data, component=comp, epochs=epochs,
-                       verbose=False, optimizer=optimizer)
+                       verbose=False, optimizer=optimizer,
+                       learning_rate=lr, schedule=schedule)
         dt = time.time() - t0
         tr.save_weights(res, out_dir, scalers=data.scalers)
         tr.plot_history(res.history,
@@ -131,6 +132,9 @@ def main() -> int:
                     help="override every preset's optimizer (TPU 384²: "
                          "RMSprop plateaus at the mean predictor; see "
                          "ml/train.py). '' keeps per-preset choices.")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--schedule", default="",
+                    help="optional LR schedule: cosine | plateau")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -161,7 +165,8 @@ def main() -> int:
         os.makedirs(out_dir, exist_ok=True)
         data = tr.prepare_inputs(train_ds, PRESETS[name], u_lid=u_lid)
         results = train_model(name, data, components, args.epochs_scale,
-                              out_dir, log, optimizer=args.optimizer or None)
+                              out_dir, log, optimizer=args.optimizer or None,
+                              lr=args.lr, schedule=args.schedule or None)
         recs = evaluate(name, results, data, ds, held, u_lid, out_dir, log)
         summary["models"][name] = {
             "final_val_mse": {c: results[c].history["val_loss"][-1]
