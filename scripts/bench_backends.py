@@ -54,12 +54,17 @@ def make_runner(name: str, cfg, steps: int, mesh_shape):
 
         return (make_sharded_pallas_runner(cfg, steps, mesh),
                 lambda s: shard_state(s, mesh))
-    if name == "sharded-tblock":
+    if name in ("sharded-tblock", "sharded-tblock-ylanes"):
         from latticeboltzmannsimulations_tpu.kernels.pallas_pull_tblock_sharded import (  # noqa: E501
             make_sharded_tblock_runner,
         )
 
-        return (make_sharded_tblock_runner(cfg, steps, mesh, k_steps=16),
+        # -ylanes forces the y-sharded halo-lane layout on this mesh:
+        # measures the padded-lane + lane-exchange tax of 2-D decompositions
+        # on one chip.
+        return (make_sharded_tblock_runner(
+                    cfg, steps, mesh, k_steps=16,
+                    force_halo_layout=name.endswith("ylanes")),
                 lambda s: shard_state(s, mesh))
     if name == "sharded-jnp":
         from latticeboltzmannsimulations_tpu.parallel.halo import (
