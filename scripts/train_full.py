@@ -157,8 +157,14 @@ def main() -> int:
         f"{len(held)} held out: {sorted(held)}")
 
     components = [c for c in args.components.split(",") if c]
-    summary = {"held_out": sorted(held), "dataset": meta,
-               "epochs_scale": args.epochs_scale, "models": {}}
+    # Merge into an existing summary so per-model invocations (e.g. with
+    # different --lr/--schedule) accumulate instead of clobbering.
+    summary_file = os.path.join(out_root, "summary.json")
+    summary = (json.load(open(summary_file))
+               if os.path.exists(summary_file) else {"models": {}})
+    summary.update({"held_out": sorted(held), "dataset": meta,
+                    "epochs_scale": args.epochs_scale})
+    summary.setdefault("models", {})
 
     for name in [m for m in args.models.split(",") if m]:
         out_dir = os.path.join(out_root, name)
@@ -169,6 +175,8 @@ def main() -> int:
                               lr=args.lr, schedule=args.schedule or None)
         recs = evaluate(name, results, data, ds, held, u_lid, out_dir, log)
         summary["models"][name] = {
+            "epochs": {c: len(results[c].history["loss"]) for c in results},
+            "lr": args.lr, "schedule": args.schedule or "constant",
             "final_val_mse": {c: results[c].history["val_loss"][-1]
                               for c in results},
             "held_out_eval": recs,
