@@ -48,7 +48,7 @@ from train_full import (  # noqa: E402
 EVAL_RE = 5000.0
 
 
-def run_one(tag, preset_name, data, train_ds, ds, u_lid, epochs, lr,
+def run_one(tag, preset_name, data, ds, u_lid, epochs, lr,
             schedule, out_dir, log):
     t0 = time.time()
     res = tr.train(preset_name, data, component="x", epochs=epochs,
@@ -126,7 +126,7 @@ def main() -> int:
     for tag, name, data, dsx, lr, sched in runs:
         if only and tag not in only:
             continue
-        recs.append(run_one(tag, name, data, train_ds, dsx, u_lid, ep, lr,
+        recs.append(run_one(tag, name, data, dsx, u_lid, ep, lr,
                             sched, out_dir, log))
         with open(os.path.join(out_dir, "summary.json"), "w") as fh:
             json.dump({"epochs": ep, "eval_re": EVAL_RE, "runs": recs},
@@ -137,7 +137,7 @@ def main() -> int:
         train192 = downsample(train_ds, 2)
         data192 = tr.prepare_inputs(train192, PRESETS["cnn_eight"],
                                     u_lid=u_lid)
-        recs.append(run_one("g192", "cnn_eight", data192, train192,
+        recs.append(run_one("g192", "cnn_eight", data192,
                             ds192_full, u_lid, ep, 1e-3, None, out_dir, log))
 
     with open(os.path.join(out_dir, "summary.json"), "w") as fh:
