@@ -143,11 +143,13 @@ def main() -> int:
     meta = {
         "grid": g, "n": n, "re": [float(re_all[0]), float(re_all[-1])],
         "collision": cfg.collision, "turbulence": cfg.turbulence,
-        "u_lid": cfg.u_lid, "max_steps": args.max_steps,
-        # Cumulative per-chunk convergence record (chunks topped up to the
-        # reference-parity 3M budget by scripts/datagen_topup.py report
-        # their total steps + per-cavity converged counts here).
-        "step_budget": int(steps_arr.max()) if len(steps_arr) else 0,
+        "u_lid": cfg.u_lid,
+        # The budget actually applied: max cumulative steps over chunks.
+        # Chunks topped up to the reference-parity 3M budget by
+        # scripts/datagen_topup.py report their total steps + per-cavity
+        # converged counts here (reference: MRT_GPU_datagen.py:61 maxIt=3M).
+        "max_steps": int(steps_arr.max()) if len(steps_arr) else 0,
+        "sweep_max_steps": args.max_steps,
         "converged_cavities": int(sum(c["converged"] for c in chunk_stats)),
         "failed_cavities": int(sum(c["failed"] for c in chunk_stats)),
         "chunks": chunk_stats,
