@@ -106,9 +106,11 @@ def train_val_split(n: int, val_frac: float = 0.2, seed: int = 4):
 # ---------------------------------------------------------------------------
 
 def _optimizer(preset: CNNPreset, lr, schedule: Optional[str] = None,
-               total_steps: int = 0):
+               total_steps: int = 0, clip_norm: Optional[float] = None):
     """``schedule``: None (constant) | 'cosine' (decay to lr/100 over the
-    run) | 'plateau' (staircase: /5 at 50% and 80% of the run)."""
+    run) | 'plateau' (staircase: /5 at 50% and 80% of the run).
+    ``clip_norm``: global-norm gradient clipping (stabilises raw-scaled
+    presets like cnn_three whose early gradients can blow up at lr 1e-3)."""
     if schedule == "cosine":
         lr = optax.cosine_decay_schedule(lr, max(1, total_steps), alpha=0.01)
     elif schedule == "plateau":
@@ -116,9 +118,10 @@ def _optimizer(preset: CNNPreset, lr, schedule: Optional[str] = None,
             lr, {int(total_steps * 0.5): 0.2, int(total_steps * 0.8): 0.2})
     elif schedule is not None:
         raise ValueError(f"unknown lr schedule {schedule!r}")
-    if preset.optimizer == "adam":
-        return optax.adam(lr)
-    return optax.rmsprop(lr)
+    base = optax.adam(lr) if preset.optimizer == "adam" else optax.rmsprop(lr)
+    if clip_norm is not None:
+        return optax.chain(optax.clip_by_global_norm(clip_norm), base)
+    return base
 
 
 @dataclasses.dataclass
@@ -141,6 +144,7 @@ def train(
     verbose: bool = False,
     optimizer: Optional[str] = None,
     schedule: Optional[str] = None,
+    clip_norm: Optional[float] = None,
 ) -> TrainResult:
     """Train one velocity-component surrogate.  Pass ``init_params`` to
     fine-tune from saved weights at a lower LR (the ``CNN_test.py``
@@ -172,7 +176,8 @@ def train(
     else:
         params = init_params
     tx = _optimizer(preset, learning_rate, schedule=schedule,
-                    total_steps=max(1, len(tr_idx) // batch_size) * epochs)
+                    total_steps=max(1, len(tr_idx) // batch_size) * epochs,
+                    clip_norm=clip_norm)
     opt_state = tx.init(params)
 
     def loss_fn(p, xb, auxb, yb):

@@ -45,6 +45,10 @@ def main() -> int:
                             "cnn_seven")
     ap.add_argument("--seven-384-epochs", type=int, default=60,
                     help="extra cnn_seven run at native 384² (0 disables)")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--clip-norm", type=float, default=None,
+                    help="global-norm gradient clipping (stabilises "
+                         "raw-scaled presets that diverge at lr 1e-3)")
     ap.add_argument("--data", default=None)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -76,7 +80,8 @@ def main() -> int:
         os.makedirs(out_dir, exist_ok=True)
         t0 = time.time()
         res = tr.train(name, data, component="x", epochs=epochs,
-                       optimizer="adam")
+                       optimizer="adam", learning_rate=args.lr,
+                       clip_norm=args.clip_norm)
         dt = time.time() - t0
         tr.save_weights(res, out_dir, scalers=data.scalers)
         tr.plot_history(res.history,
@@ -97,6 +102,9 @@ def main() -> int:
                 float(np.linalg.norm(u_cnn[0] - u_true[0])
                       / np.linalg.norm(u_true[0])), 5),
             "train_s": round(dt, 1),
+            "lr": args.lr,
+            **({"clip_norm": args.clip_norm}
+               if args.clip_norm is not None else {}),
         }
         summary["models"][f"{name}_{grid_tag}"] = rec
         with open(summary_path, "w") as fh:

@@ -142,6 +142,14 @@ def test_train_lr_schedules(small_dataset, schedule):
     assert np.isfinite(res.history["loss"]).all()
 
 
+def test_train_clip_norm(small_dataset):
+    cfg, ds = small_dataset
+    data = ml_train.prepare_inputs(ds, PRESETS["cnn_one"], u_lid=cfg.u_lid)
+    res = ml_train.train("cnn_one", data, component="x", epochs=3,
+                         batch_size=2, clip_norm=1.0)
+    assert np.isfinite(res.history["loss"]).all()
+
+
 def test_train_rejects_unknown_schedule(small_dataset):
     cfg, ds = small_dataset
     data = ml_train.prepare_inputs(ds, PRESETS["cnn_one"], u_lid=cfg.u_lid)
