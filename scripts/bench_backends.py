@@ -30,7 +30,7 @@ def _force(x) -> float:
     return float(np.asarray(x[(0,) * x.ndim]))
 
 
-def make_runner(name: str, cfg, steps: int, mesh_shape):
+def make_runner(name: str, cfg, steps: int, mesh_shape, k_steps: int = 16):
     from latticeboltzmannsimulations_tpu import engine
 
     if name == "fused-jit":
@@ -42,7 +42,8 @@ def make_runner(name: str, cfg, steps: int, mesh_shape):
     if name == "tblock":
         from latticeboltzmannsimulations_tpu.kernels import pallas_pull_tblock
 
-        return (pallas_pull_tblock.make_scan_runner(cfg, steps, k_steps=16),
+        return (pallas_pull_tblock.make_scan_runner(cfg, steps,
+                                                    k_steps=k_steps),
                 lambda s: s)
     from latticeboltzmannsimulations_tpu.parallel import make_mesh, shard_state
 
@@ -63,7 +64,7 @@ def make_runner(name: str, cfg, steps: int, mesh_shape):
         # measures the padded-lane + lane-exchange tax of 2-D decompositions
         # on one chip.
         return (make_sharded_tblock_runner(
-                    cfg, steps, mesh, k_steps=16,
+                    cfg, steps, mesh, k_steps=k_steps,
                     force_halo_layout=name.endswith("ylanes")),
                 lambda s: shard_state(s, mesh))
     if name == "sharded-jnp":
@@ -88,6 +89,8 @@ def main() -> int:
                     help="steps per timed chunk")
     ap.add_argument("--chunks", type=int, default=3)
     ap.add_argument("--collision", default="mrt")
+    ap.add_argument("--k", type=int, default=16,
+                    help="temporal-block depth for the tblock backends")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -106,7 +109,8 @@ def main() -> int:
                 mesh_shape=mesh_shape if is_sharded else (1, 1),
             ).validate()
             try:
-                runner, prep = make_runner(name, cfg, args.steps, mesh_shape)
+                runner, prep = make_runner(name, cfg, args.steps, mesh_shape,
+                                           k_steps=args.k)
                 state = prep(engine.init_state(cfg))
                 t0 = time.perf_counter()
                 state = runner(state)      # warmup: absorbs compile
@@ -127,6 +131,7 @@ def main() -> int:
                 "mesh": list(mesh_shape) if is_sharded else [1, 1],
                 "mlups": round(mlups, 1), "compile_s": round(t_compile, 1),
                 "steps": args.steps * args.chunks,
+                **({"k": args.k} if "tblock" in name else {}),
             }
             print(json.dumps(rec), flush=True)
             with open(out, "a") as fh:
