@@ -166,7 +166,8 @@ def main(argv=None) -> int:
     p.add_argument("--resume", default=None)
     p.add_argument("--backend", default="auto",
                    choices=["auto", "jit", "pallas", "pallas-tblock",
-                            "sharded", "sharded-pallas", "sharded-tblock"])
+                            "pallas-push", "sharded", "sharded-pallas",
+                            "sharded-tblock"])
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("datagen", help="Reynolds-sweep dataset generation")

@@ -61,6 +61,37 @@ class SimSummary:
     out_dir: str
 
 
+def _push_style(cfg: SimConfig, step):
+    """Runner + observables for the push-scheme engines (oracle and Pallas
+    push kernel): state is the plain pre-collision field ``f``."""
+
+    @jax.jit
+    def runner_n(f, n):
+        return jax.lax.fori_loop(0, n, lambda _, x: step(x), f)
+
+    def runner(n):
+        def run(state):
+            f = runner_n(state.f, n)
+            # the push engines carry no lid-density memory; fill the
+            # State slot with a placeholder (never read on this path)
+            return engine.State(f=f, rho_lid=f[0, :, 0])
+
+        return run
+
+    @jax.jit
+    def obs(state):
+        from .ops.equilibrium import macroscopics
+        from .ops import boundary as bc_ops
+
+        rho, u = macroscopics(state.f)
+        lid_corners = "lid" if cfg.boundary == "nebb_west_eq" else "wall"
+        u, rho = bc_ops.override_wall_velocity(
+            u, rho, state.f, cfg.u_lid, lid_corners)
+        return rho, u
+
+    return runner, obs
+
+
 def _select_backend(cfg: SimConfig, opts: SimOptions):
     """Pick the runner factory: sharded when a mesh is requested, the Pallas
     kernel on TPU f32 single chip, fused jit otherwise.  Non-NEBB boundary
@@ -68,33 +99,17 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
     experiments) run on the push-oracle engine, the only one that implements
     them."""
     if cfg.boundary != "nebb":
-        step = engine.make_push_oracle_step(cfg)
-
-        @jax.jit
-        def runner_n(f, n):
-            return jax.lax.fori_loop(0, n, lambda _, x: step(x), f)
-
-        def runner(n):
-            def run(state):
-                f = runner_n(state.f, n)
-                # the push engines carry no lid-density memory; fill the
-                # State slot with a placeholder (never read on this path)
-                return engine.State(f=f, rho_lid=f[0, :, 0])
-
-            return run
-
-        @jax.jit
-        def obs(state):
-            from .ops.equilibrium import macroscopics
-            from .ops import boundary as bc_ops
-
-            rho, u = macroscopics(state.f)
-            lid_corners = "lid" if cfg.boundary == "nebb_west_eq" else "wall"
-            u, rho = bc_ops.override_wall_velocity(
-                u, rho, state.f, cfg.u_lid, lid_corners)
-            return rho, u
-
+        runner, obs = _push_style(cfg, engine.make_push_oracle_step(cfg))
         return runner, obs, (lambda s: s), "push-oracle"
+    if opts.backend == "pallas-push":
+        # Explicit-only (never auto-selected): the E10-parity fused push
+        # kernel — pull stays the production path (see pallas_push.py).
+        from .kernels import pallas_push
+
+        interp = jax.default_backend() in ("cpu",)
+        runner, obs = _push_style(
+            cfg, pallas_push.make_push_step(cfg, interpret=interp))
+        return runner, obs, (lambda s: s), "pallas-push"
     if opts.backend in ("sharded", "sharded-pallas", "sharded-tblock") or (
         opts.backend == "auto" and cfg.mesh_shape != (1, 1)
     ):

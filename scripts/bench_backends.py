@@ -45,6 +45,13 @@ def make_runner(name: str, cfg, steps: int, mesh_shape, k_steps: int = 16):
         return (pallas_pull_tblock.make_scan_runner(cfg, steps,
                                                     k_steps=k_steps),
                 lambda s: s)
+    if name == "pallas-push":
+        from latticeboltzmannsimulations_tpu.kernels import pallas_push
+
+        runner = pallas_push.make_push_scan_runner(cfg, steps)
+        # push state is the plain pre-collision field
+        return (lambda s: type(s)(f=runner(s.f), rho_lid=s.rho_lid),
+                lambda s: s)
     from latticeboltzmannsimulations_tpu.parallel import make_mesh, shard_state
 
     mesh = make_mesh(mesh_shape)

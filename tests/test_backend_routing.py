@@ -25,6 +25,14 @@ def test_auto_tpu_large_field_routes_tblock(monkeypatch):
     assert _route(cfg, monkeypatch) == "pallas-tblock"
 
 
+def test_explicit_pallas_push(monkeypatch):
+    # E10-parity push kernel: explicit opt-in only, on either platform.
+    cfg = SimConfig(nx=256, ny=256, reynolds=1000.0, precision="float32")
+    assert _route(cfg, monkeypatch, backend="pallas-push") == "pallas-push"
+    assert _route(cfg, monkeypatch, backend="pallas-push",
+                  platform="cpu") == "pallas-push"
+
+
 def test_auto_cpu_routes_jit(monkeypatch):
     cfg = SimConfig(nx=256, ny=256, reynolds=1000.0, precision="float32")
     assert _route(cfg, monkeypatch, platform="cpu") == "jit"
