@@ -46,8 +46,9 @@ log "cnn_ten rc=$?"
 
 # Best *training-config* variant from the diagnosis sweep (the structural
 # variants are different architectures and can't back the cnn_eight preset).
-read -r LR SCHED <<EOF
-$(python - <<'PYEOF'
+# NOTE: a heredoc nested inside $(...) breaks bash's parser at runtime
+# ("unexpected EOF while looking for matching )") — keep this a plain -c.
+VALS=$(python -c '
 import json, os
 path = "docs/artifacts/cnn_eight_diag/summary.json"
 lr, sched = 1e-3, ""
@@ -59,8 +60,9 @@ if os.path.exists(path):
         lr = best["lr"]
         sched = "" if best["schedule"] == "constant" else best["schedule"]
 print(lr, sched)
-PYEOF
-EOF
+')
+LR=$(echo "$VALS" | awk '{print $1}')
+SCHED=$(echo "$VALS" | awk '{print $2}')
 log "retrain cnn_eight (lr=$LR schedule='${SCHED:-constant}')"
 python scripts/train_full.py --models cnn_eight --early-preset '' \
   --lr "$LR" ${SCHED:+--schedule "$SCHED"} > /tmp/retrain_eight.log 2>&1
