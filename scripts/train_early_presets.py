@@ -46,6 +46,10 @@ def main() -> int:
     ap.add_argument("--seven-384-epochs", type=int, default=60,
                     help="extra cnn_seven run at native 384² (0 disables)")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--optimizer", default="adam",
+                    choices=["adam", "rmsprop"])
+    ap.add_argument("--schedule", default=None,
+                    choices=["cosine", "plateau"])
     ap.add_argument("--clip-norm", type=float, default=None,
                     help="global-norm gradient clipping (stabilises "
                          "raw-scaled presets that diverge at lr 1e-3)")
@@ -80,8 +84,8 @@ def main() -> int:
         os.makedirs(out_dir, exist_ok=True)
         t0 = time.time()
         res = tr.train(name, data, component="x", epochs=epochs,
-                       optimizer="adam", learning_rate=args.lr,
-                       clip_norm=args.clip_norm)
+                       optimizer=args.optimizer, learning_rate=args.lr,
+                       schedule=args.schedule, clip_norm=args.clip_norm)
         dt = time.time() - t0
         tr.save_weights(res, out_dir, scalers=data.scalers)
         tr.plot_history(res.history,
@@ -103,6 +107,8 @@ def main() -> int:
                       / np.linalg.norm(u_true[0])), 5),
             "train_s": round(dt, 1),
             "lr": args.lr,
+            "optimizer": args.optimizer,
+            **({"schedule": args.schedule} if args.schedule else {}),
             **({"clip_norm": args.clip_norm}
                if args.clip_norm is not None else {}),
         }
