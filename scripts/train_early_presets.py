@@ -49,7 +49,7 @@ def main() -> int:
     ap.add_argument("--optimizer", default="adam",
                     choices=["adam", "rmsprop"])
     ap.add_argument("--schedule", default=None,
-                    choices=["cosine", "plateau"])
+                    choices=["cosine", "plateau", "inverse"])
     ap.add_argument("--clip-norm", type=float, default=None,
                     help="global-norm gradient clipping (stabilises "
                          "raw-scaled presets that diverge at lr 1e-3)")
