@@ -45,9 +45,19 @@ def main() -> None:
     if runner is None:
         runner = engine.make_scan_runner(cfg, steps_per_chunk)
 
-    # Warmup / compile.
-    state = runner(state)
-    _force(state.f)
+    # Warmup / compile.  The axon relay can drop transiently (r3: a giant
+    # Mosaic compile killed it); retry the first dispatch a few times before
+    # giving up so a blip doesn't void the whole benchmark run.
+    for attempt in range(4):
+        try:
+            state = runner(state)
+            _force(state.f)
+            break
+        except Exception:
+            if attempt == 3:
+                raise
+            time.sleep(60)
+            state = engine.init_state(cfg)
 
     n_chunks = 6
     t0 = time.perf_counter()
