@@ -22,3 +22,40 @@ def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_survives_dead_backend(monkeypatch, capsys):
+    """Forced-dead-relay simulation (MULTICHIP_r03 rc=124 regression).
+
+    On a dead axon relay ``jax.devices()`` hangs inside backend init, so the
+    parent process must never call it unless the CPU platform is pinned.  We
+    simulate "platform is not local CPU" and make any parent-side
+    ``jax.devices()`` call fatal; the dry run must still complete via the
+    clean-environment subprocess, well inside the driver's timeout.
+    """
+    import time
+
+    sys.path.insert(0, ".")
+    import __graft_entry__ as g
+
+    def _hang_simulator(*a, **k):  # a hang can't be caught; a call = a bug
+        raise AssertionError(
+            "parent called jax.devices() on a possibly-dead backend"
+        )
+
+    monkeypatch.setattr(jax, "devices", _hang_simulator)
+    monkeypatch.setattr(g, "_cpu_platform_selected", lambda: False)
+    t0 = time.monotonic()
+    g.dryrun_multichip(8)
+    elapsed = time.monotonic() - t0
+    out = capsys.readouterr().out
+    assert "dryrun_multichip ok" in out
+    assert elapsed < 300  # driver kills at 600s; subprocess must be far under
+
+
+def test_cpu_platform_selected_true_under_conftest():
+    """The in-process fast path stays available to the (CPU-pinned) suite."""
+    sys.path.insert(0, ".")
+    import __graft_entry__ as g
+
+    assert g._cpu_platform_selected()
