@@ -10,7 +10,10 @@ MLUPS = nx * ny * steps * 1e-6 / elapsed   (reference: MRTTiledPull.py:703)
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -25,41 +28,58 @@ def main() -> None:
     from latticeboltzmannsimulations_tpu import engine
     from latticeboltzmannsimulations_tpu.config import SimConfig
 
+    # Env overrides (smoke tests / size probes); defaults are the headline.
+    size = int(os.environ.get("LBM_BENCH_N", "1024"))
     cfg = SimConfig(
-        nx=1024, ny=1024, reynolds=5000.0, collision="mrt",
+        nx=size, ny=size, reynolds=5000.0, collision="mrt",
         precision="float32",
     ).validate()
 
-    steps_per_chunk = 500
-    state = engine.init_state(cfg)
+    steps_per_chunk = int(os.environ.get("LBM_BENCH_CHUNK", "500"))
 
-    runner = None
-    backend = "fused-jnp"
-    try:
-        from latticeboltzmannsimulations_tpu.kernels import pallas_pull
+    def _build_runner(backend):
+        if backend == "pallas-pull":
+            from latticeboltzmannsimulations_tpu.kernels import pallas_pull
 
-        runner = pallas_pull.make_scan_runner(cfg, steps_per_chunk)
-        backend = "pallas-pull"
-    except Exception:
-        pass
-    if runner is None:
-        runner = engine.make_scan_runner(cfg, steps_per_chunk)
+            return pallas_pull.make_scan_runner(cfg, steps_per_chunk)
+        return engine.make_scan_runner(cfg, steps_per_chunk)
 
     # Warmup / compile.  The axon relay can drop transiently (r3: a giant
-    # Mosaic compile killed it); retry the first dispatch a few times before
-    # giving up so a blip doesn't void the whole benchmark run.
+    # Mosaic compile killed it) or fail at *backend init* before the first
+    # dispatch (BENCH_r03 rc=1 died in init_state, outside the old retry
+    # loop) — so the whole first-touch sequence (allocate, build, dispatch)
+    # retries together.  A deterministic error (bad kernel/config — e.g. the
+    # Pallas path on a CPU backend) demotes to the fused-jnp runner instead
+    # of burning retries; transient relay errors are printed and retried so
+    # transient vs. real failures are distinguishable in the driver log.
+    backend = "pallas-pull"
+    deterministic = (TypeError, ValueError, AttributeError, KeyError,
+                     NotImplementedError)
     for attempt in range(4):
         try:
+            state = engine.init_state(cfg)
+            runner = _build_runner(backend)
             state = runner(state)
             _force(state.f)
             break
+        except deterministic:
+            traceback.print_exc()
+            if backend == "fused-jnp":
+                raise  # deterministic bug in the fallback — retrying is useless
+            print("pallas-pull warmup failed deterministically; "
+                  "falling back to fused-jnp", file=sys.stderr, flush=True)
+            backend = "fused-jnp"
         except Exception:
+            traceback.print_exc()
             if attempt == 3:
                 raise
+            print(f"warmup attempt {attempt + 1} failed; retrying in 60s",
+                  file=sys.stderr, flush=True)
             time.sleep(60)
-            state = engine.init_state(cfg)
+    else:
+        raise RuntimeError("benchmark warmup never succeeded")
 
-    n_chunks = 6
+    n_chunks = int(os.environ.get("LBM_BENCH_CHUNKS", "6"))
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         state = runner(state)
@@ -69,7 +89,7 @@ def main() -> None:
     steps = steps_per_chunk * n_chunks
     mlups = cfg.nx * cfg.ny * steps * 1e-6 / elapsed
     print(json.dumps({
-        "metric": f"MLUPS 1024x1024 D2Q9 MRT cavity ({backend})",
+        "metric": f"MLUPS {cfg.nx}x{cfg.ny} D2Q9 MRT cavity ({backend})",
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / 2000.0, 3),
