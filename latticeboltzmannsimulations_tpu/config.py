@@ -35,7 +35,7 @@ class SimConfig:
 
     # --- numerics ---
     collision: str = "srt"          # 'srt' | 'trt' | 'mrt'
-    boundary: str = "nebb"          # 'nebb' | 'nebb_west_eq' | 'bounce_back'
+    boundary: str = "nebb"  # 'nebb' | 'nebb_west_eq' | 'nebb_tangential' | 'bounce_back'
     precision: str = "float32"      # 'float32' | 'float64' (CPU tests)
 
     # TRT "magic parameter" Lambda (reference: MRT.py:66, delTRT = 1/3.5).
@@ -110,7 +110,8 @@ class SimConfig:
     def validate(self) -> "SimConfig":
         if self.collision not in ("srt", "trt", "mrt"):
             raise ValueError(f"unknown collision operator {self.collision!r}")
-        if self.boundary not in ("nebb", "nebb_west_eq", "bounce_back"):
+        if self.boundary not in ("nebb", "nebb_west_eq", "nebb_tangential",
+                                 "bounce_back"):
             raise ValueError(f"unknown boundary scheme {self.boundary!r}")
         if self.turbulence not in ("none", "smagorinsky"):
             raise ValueError(f"unknown turbulence model {self.turbulence!r}")

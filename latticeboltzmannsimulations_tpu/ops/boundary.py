@@ -25,6 +25,14 @@ Schemes
     moving-lid correction; requires the pre-streaming post-collision field
     (reference, commented experiment: ``MRT.py:433-441``).
 
+``nebb_tangential``
+    NEBB walls with the full Zou-He tangential-momentum closure on the lid
+    and explicit corner treatment at the two lid corners (reference,
+    commented experiment: ``MRT.py:461-482``).  The lid rewrite keeps the
+    tangential non-equilibrium correction ``±0.5 (f1 - f3) ∓ 0.5 u_lid``
+    that plain NEBB drops, and the corners are closed with the standard
+    Zou-He corner rule at unit density.
+
 All functions are pure and operate on planar ``(9, X, Y)`` fields using edge
 slice updates (``.at[k, 0, :]`` etc.), which XLA turns into cheap fused
 edge-region stores.
@@ -84,6 +92,53 @@ def nebb_west_eq(f: jnp.ndarray, feq: jnp.ndarray) -> jnp.ndarray:
     return f
 
 
+def nebb_tangential(f: jnp.ndarray, feq: jnp.ndarray, u_lid: float) -> jnp.ndarray:
+    """NEBB walls + Zou-He tangential lid closure + lid-corner treatment.
+
+    Reference (commented experiment, ``MRT.py:461-482``): after the standard
+    four-wall NEBB rewrite, the lid row is re-closed with the exact Zou-He
+    moving-wall rule and the two lid corners get the explicit corner
+    equations.  Derivation notes:
+
+    * Lid (y = 0, velocity ``(u_lid, 0)``): unknowns are the into-fluid
+      populations 4, 7, 8.  Imposing ``(jx, jy) = (rho u_lid, 0)`` over the
+      post-streaming knowns gives ``f4 = f2``,
+      ``f7 = f5 + (f1 - f3)/2 - u_lid/2``,
+      ``f8 = f6 - (f1 - f3)/2 + u_lid/2`` — the reference's incompressible
+      (rho ~= 1) form.  The reference writes the first right-hand sides with
+      transposed indices (``fin[2,0,:]`` for ``fin[2,:,0]``); the equations
+      above are the intended, dimensionally consistent rule.
+    * Corners (x = 0 / nx-1, y = 0): both wall normals meet, so five
+      populations are unknown; the Zou-He corner closure at unit density
+      sets the axis populations by bounce-back with the (2/3) u momentum
+      share, the in-plane diagonal with (1/6) u, the two "buried" diagonals
+      to ±u/12, and recovers f0 from rho = 1 (``MRT.py:468-482``).
+    """
+    nx = f.shape[1]
+    f = nebb(f, feq)  # side/bottom walls (and a lid pass the next lines redo)
+    # Zou-He tangential lid closure over the full row (corners fixed below).
+    tang = 0.5 * (f[1, :, 0] - f[3, :, 0]) - 0.5 * u_lid
+    f = f.at[4, :, 0].set(f[2, :, 0])
+    f = f.at[7, :, 0].set(f[5, :, 0] + tang)
+    f = f.at[8, :, 0].set(f[6, :, 0] - tang)
+    # Upper-left corner (0, 0).
+    f = f.at[1, 0, 0].set(f[3, 0, 0] + (2.0 / 3.0) * u_lid)
+    f = f.at[4, 0, 0].set(f[2, 0, 0])
+    f = f.at[8, 0, 0].set(f[6, 0, 0] + (1.0 / 6.0) * u_lid)
+    f = f.at[5, 0, 0].set(u_lid / 12.0)
+    f = f.at[7, 0, 0].set(-u_lid / 12.0)
+    f = f.at[0, 0, 0].set(1.0 - f[1:, 0, 0].sum(axis=0))
+    # Upper-right corner (nx-1, 0).
+    e = nx - 1
+    f = f.at[3, e, 0].set(f[1, e, 0] - (2.0 / 3.0) * u_lid)
+    f = f.at[4, e, 0].set(f[2, e, 0])
+    f = f.at[7, e, 0].set(f[5, e, 0] - (1.0 / 6.0) * u_lid)
+    f = f.at[6, e, 0].set(-u_lid / 12.0)
+    f = f.at[8, e, 0].set(u_lid / 12.0)
+    f = f.at[0, e, 0].set(1.0 - f[1:, e, 0].sum(axis=0))
+    return f
+
+
 def bounce_back(f: jnp.ndarray, fpost: jnp.ndarray, u_lid: float) -> jnp.ndarray:
     """Halfway bounce-back walls + Bouzidi moving lid.
 
@@ -119,6 +174,8 @@ def apply(
         return nebb(f, feq)
     if variant == "nebb_west_eq":
         return nebb_west_eq(f, feq)
+    if variant == "nebb_tangential":
+        return nebb_tangential(f, feq, u_lid)
     if variant == "bounce_back":
         if fpost is None:
             raise ValueError("bounce_back needs the pre-streaming field")

@@ -104,6 +104,11 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
     if opts.backend == "pallas-push":
         # Explicit-only (never auto-selected): the E10-parity fused push
         # kernel — pull stays the production path (see pallas_push.py).
+        if cfg.mesh_shape != (1, 1):
+            raise ValueError(
+                "backend 'pallas-push' is single-chip only; requested mesh "
+                f"{cfg.mesh_shape} would be silently ignored"
+            )
         from .kernels import pallas_push
 
         interp = jax.default_backend() in ("cpu",)
@@ -155,18 +160,17 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
                 runner = lambda n: make_sharded_tblock_runner(cfg, n, mesh,
                                                               k_steps=16)
                 name = "sharded-tblock"
-        if runner is not None:
-            pass
-        elif opts.backend == "sharded-pallas" or (
-            opts.backend == "auto" and pallas_ok
-        ):
-            from .kernels.pallas_pull_sharded import make_sharded_pallas_runner
+        if runner is None:
+            if opts.backend == "sharded-pallas" or (
+                opts.backend == "auto" and pallas_ok
+            ):
+                from .kernels.pallas_pull_sharded import make_sharded_pallas_runner
 
-            runner = lambda n: make_sharded_pallas_runner(cfg, n, mesh)
-            name = "sharded-pallas"
-        else:
-            runner = lambda n: make_sharded_scan_runner(cfg, n, mesh)
-            name = "sharded"
+                runner = lambda n: make_sharded_pallas_runner(cfg, n, mesh)
+                name = "sharded-pallas"
+            else:
+                runner = lambda n: make_sharded_scan_runner(cfg, n, mesh)
+                name = "sharded"
         obs = sharded_observables(cfg, mesh)
         prep = lambda s: shard_state(s, mesh)
         return runner, obs, prep, name

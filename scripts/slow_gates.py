@@ -25,33 +25,46 @@ from latticeboltzmannsimulations_tpu.config import SimConfig  # noqa: E402
 from latticeboltzmannsimulations_tpu.sim import SimOptions, simulate  # noqa: E402
 
 GATES = [
-    # (name, cfg kwargs, max_steps, r2_min, l2_max)
+    # (name, cfg kwargs, max_steps, r2_min, l2_max, require_converged)
+    # re400 pins the convergence detector end-to-end: it must reach the
+    # detector's stop (tol 1e-7, the datagen-proven threshold — 1e-8 never
+    # fires at f32/256² within any sane budget) before the step cap.
     ("re400_256_mrt",
-     dict(nx=256, ny=256, reynolds=400.0, collision="mrt"),
-     600_000, 0.999, 0.020),
+     dict(nx=256, ny=256, reynolds=400.0, collision="mrt",
+          convergence_tol=1e-7),
+     1_200_000, 0.999, 0.020, True),
     ("re1000_256_mrt",
      dict(nx=256, ny=256, reynolds=1000.0, collision="mrt"),
-     1_500_000, 0.999, 0.030),
+     1_500_000, 0.999, 0.030, False),
     # Bouzidi-lid halfway bounce-back: a *physics* assertion for the
     # bounce_back boundary variant (reference quality bar MRTtest.py:858-860),
     # not just finiteness. Runs through the push-oracle engine.
     ("re100_128_bounce_back",
      dict(nx=128, ny=128, reynolds=100.0, collision="srt",
           boundary="bounce_back"),
-     40_000, 0.99, 0.05),
+     40_000, 0.99, 0.05, False),
+    # Zou-He tangential lid + corner treatment (reference commented
+    # experiment MRT.py:461-482); must match the bounce-back variant's bar.
+    ("re100_128_nebb_tangential",
+     dict(nx=128, ny=128, reynolds=100.0, collision="srt",
+          boundary="nebb_tangential"),
+     40_000, 0.99, 0.05, False),
 ]
 
 
-def run_gate(name, kwargs, max_steps, r2_min, l2_max, out_dir):
+def run_gate(name, kwargs, max_steps, r2_min, l2_max, require_converged,
+             out_dir):
     cfg = SimConfig(precision="float32", max_steps=max_steps,
                     report_interval=10_000, **kwargs).validate()
     summary = simulate(cfg, SimOptions(out_dir=os.path.join(out_dir, name),
                                        verbose=False, metrics_jsonl=False))
     ok = (summary.r2_ux is not None and summary.r2_ux > r2_min
-          and summary.l2_combined < l2_max)
+          and summary.l2_combined < l2_max
+          and (summary.converged or not require_converged))
     rec = {
         "gate": name, "steps": summary.steps,
         "converged": summary.converged,
+        "require_converged": require_converged,
         "mlups": round(summary.mlups, 1),
         "r2_ux": round(float(summary.r2_ux), 6),
         "l2_combined": round(float(summary.l2_combined), 5),

@@ -89,3 +89,12 @@ def test_simulate_bounce_back_fallback(tmp_path):
     s = simulate(cfg, SimOptions(out_dir=str(tmp_path), verbose=False,
                                  metrics_jsonl=False))
     assert s.steps == 200 and np.isfinite(s.mlups)
+
+
+def test_simulate_nebb_tangential_fallback(tmp_path):
+    """The tangential-lid variant routes to the push-oracle engine too."""
+    cfg = SimConfig(nx=48, ny=48, reynolds=100.0, boundary="nebb_tangential",
+                    max_steps=200, report_interval=100, precision="float32")
+    s = simulate(cfg, SimOptions(out_dir=str(tmp_path), verbose=False,
+                                 metrics_jsonl=False))
+    assert s.steps == 200 and np.isfinite(s.mlups)

@@ -132,3 +132,30 @@ def test_smagorinsky_tau_increases_and_bounds():
     # zero non-equilibrium => tau unchanged
     tau_eq = np.asarray(smagorinsky_tau(feq, feq, rho, tau0))
     np.testing.assert_allclose(tau_eq, tau0, rtol=1e-12)
+
+
+def test_nebb_tangential_lid_moment_closure():
+    """The Zou-He tangential lid closure imposes (jx, jy) = (u_lid, 0) on
+    interior lid cells and rho = 1 with lid momentum at both corners
+    (reference commented experiment: MRT.py:461-482)."""
+    from latticeboltzmannsimulations_tpu.ops.boundary import nebb_tangential
+
+    nx, ny, u_lid = 10, 8, 0.08
+    f = jnp.asarray(1.0 / 9.0 + 0.01 * RNG.standard_normal((9, nx, ny)))
+    rho0 = 1.0 + 0.02 * RNG.standard_normal((nx, ny))
+    u0 = 0.03 * RNG.standard_normal((2, nx, ny))
+    feq = equilibrium(jnp.asarray(rho0), jnp.asarray(u0))
+    out = np.asarray(nebb_tangential(f, feq, u_lid))
+
+    cx, cy = np.asarray(lattice.CX, float), np.asarray(lattice.CY, float)
+    jx = np.tensordot(cx, out, axes=(0, 0))
+    jy = np.tensordot(cy, out, axes=(0, 0))
+    # Interior lid cells: exact momentum (incompressible rho ~= 1 form).
+    np.testing.assert_allclose(jx[1:-1, 0], u_lid, atol=1e-12)
+    np.testing.assert_allclose(jy[1:-1, 0], 0.0, atol=1e-12)
+    # Corners: unit density, lid momentum, zero normal flux.
+    rho = out.sum(axis=0)
+    for x in (0, nx - 1):
+        assert abs(rho[x, 0] - 1.0) < 1e-12
+        assert abs(jx[x, 0] - u_lid) < 1e-12
+        assert abs(jy[x, 0]) < 1e-12

@@ -61,3 +61,18 @@ def test_bounce_back_lid_matches_ghia(tmp_path):
                                  metrics_jsonl=False))
     assert s.r2_ux is not None and s.r2_ux > 0.98, (s.r2_ux, s.l2_combined)
     assert s.l2_combined < 0.06, (s.r2_ux, s.l2_combined)
+
+
+def test_nebb_tangential_lid_matches_ghia(tmp_path):
+    """The Zou-He tangential-lid + corner-treatment variant produces a real
+    Ghia cavity flow (reference commented experiment MRT.py:461-482); same
+    bar as the bounce-back variant above."""
+    from latticeboltzmannsimulations_tpu.sim import SimOptions, simulate
+
+    cfg = SimConfig(nx=96, ny=96, reynolds=100.0, collision="srt",
+                    boundary="nebb_tangential", max_steps=20_000,
+                    report_interval=2_000, precision="float32")
+    s = simulate(cfg, SimOptions(out_dir=str(tmp_path), verbose=False,
+                                 metrics_jsonl=False))
+    assert s.r2_ux is not None and s.r2_ux > 0.98, (s.r2_ux, s.l2_combined)
+    assert s.l2_combined < 0.06, (s.r2_ux, s.l2_combined)
