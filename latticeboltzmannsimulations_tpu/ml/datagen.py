@@ -345,18 +345,41 @@ def generate_dataset(
 
 def save_dataset(ds: DatasetArrays, out_dir: str) -> None:
     """Same four-file .npy layout as the reference
-    (reference: ``MRT_GPU_datagen.py:899-902``)."""
+    (reference: ``MRT_GPU_datagen.py:899-902``), plus ``failed.npy`` — the
+    quarantine mask — whenever any cavity diverged, so zero-filled slots can
+    never silently flow into training."""
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "Re_range.npy"), ds.re_range)
     np.save(os.path.join(out_dir, "feq_initial.npy"), ds.feq_initial)
     np.save(os.path.join(out_dir, "f_final.npy"), ds.f_final)
     np.save(os.path.join(out_dir, "u_final.npy"), ds.u_final)
+    failed_path = os.path.join(out_dir, "failed.npy")
+    if ds.failed is not None and ds.failed.any():
+        np.save(failed_path, ds.failed)
+    elif os.path.exists(failed_path):
+        os.remove(failed_path)  # don't let a stale mask shadow a clean save
 
 
 def load_dataset(out_dir: str) -> DatasetArrays:
+    failed_path = os.path.join(out_dir, "failed.npy")
     return DatasetArrays(
         re_range=np.load(os.path.join(out_dir, "Re_range.npy")),
         feq_initial=np.load(os.path.join(out_dir, "feq_initial.npy")),
         f_final=np.load(os.path.join(out_dir, "f_final.npy")),
         u_final=np.load(os.path.join(out_dir, "u_final.npy")),
+        failed=np.load(failed_path) if os.path.exists(failed_path) else None,
+    )
+
+
+def drop_failed(ds: DatasetArrays) -> DatasetArrays:
+    """Dataset with quarantined (zero-filled) cavities removed."""
+    if ds.failed is None or not ds.failed.any():
+        return ds
+    keep = ~ds.failed
+    return DatasetArrays(
+        re_range=ds.re_range[keep],
+        feq_initial=ds.feq_initial,
+        f_final=ds.f_final[keep],
+        u_final=ds.u_final[keep],
+        failed=None,
     )

@@ -56,7 +56,13 @@ def prepare_inputs(ds: DatasetArrays, preset: CNNPreset,
     fnet = concat(feq_initial broadcast over runs [9ch], Re plane [1ch]);
     aux = lid-row velocity planes velBCx/velBCy (zero except the lid row)
     (reference: ``CNN_Eight.py:23-25,86-91``).
+
+    Quarantined (diverged, zero-filled) cavities are dropped here so they
+    can never reach training regardless of how the dataset was assembled.
     """
+    from .datagen import drop_failed
+
+    ds = drop_failed(ds)
     n = len(ds.re_range)
     scalers = _make_scalers(preset)
 

@@ -111,12 +111,13 @@ def main() -> int:
     for fn in sorted(os.listdir(chunk_dir)):
         if fn.endswith(".npz"):
             z = np.load(os.path.join(chunk_dir, fn))
-            for i, r in enumerate(z["re"]):
-                chunks[float(r)] = (z["f_final"][i], z["u_final"][i])
             b = len(z["re"])
             conv = (z["converged"] if "converged" in z
                     else np.zeros(b, dtype=bool))
             fail = z["failed"] if "failed" in z else np.zeros(b, dtype=bool)
+            for i, r in enumerate(z["re"]):
+                chunks[float(r)] = (z["f_final"][i], z["u_final"][i],
+                                    bool(fail[i]))
             chunk_stats.append({
                 "re_lo": float(z["re"][0]), "re_hi": float(z["re"][-1]),
                 "steps": int(z["steps"]), "converged": int(np.sum(conv)),
@@ -132,11 +133,13 @@ def main() -> int:
     n, g = len(re_all), args.grid
     f_final = np.empty((n, 9, g, g), np.float32)
     u_final = np.empty((n, 2, g, g), np.float32)
+    failed = np.zeros(n, dtype=bool)
     for i, r in enumerate(re_all):
-        f_final[i], u_final[i] = chunks[float(r)]
+        f_final[i], u_final[i], failed[i] = chunks[float(r)]
     ds = datagen.DatasetArrays(
         re_range=re_all, feq_initial=np.asarray(state0.f),
         f_final=f_final, u_final=u_final,
+        failed=failed if failed.any() else None,
     )
     datagen.save_dataset(ds, out_dir)
     steps_arr = np.asarray([c["steps"] for c in chunk_stats])

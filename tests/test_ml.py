@@ -209,3 +209,38 @@ def test_datagen_quarantines_diverging_cavity():
     for i in (0, 2):
         assert np.all(np.isfinite(ds.f_final[i]))
         assert np.abs(ds.u_final[i]).max() > 0.0
+
+
+def test_failed_mask_persists_and_filters(small_dataset, tmp_path):
+    """Quarantined cavities round-trip through the 4-file layout via
+    failed.npy and can never reach training: prepare_inputs drops them
+    (ADVICE r3: zero-filled slots used to flow silently into the dataset)."""
+    from latticeboltzmannsimulations_tpu.ml.datagen import (
+        DatasetArrays, drop_failed,
+    )
+
+    cfg, ds = small_dataset
+    failed = np.array([False, True, False, False])
+    bad = DatasetArrays(re_range=ds.re_range, feq_initial=ds.feq_initial,
+                        f_final=ds.f_final.copy(), u_final=ds.u_final.copy(),
+                        failed=failed)
+    bad.f_final[1] = 0.0
+    bad.u_final[1] = 0.0
+    d = str(tmp_path)
+    save_dataset(bad, d)
+    assert os.path.exists(os.path.join(d, "failed.npy"))
+    ds2 = load_dataset(d)
+    np.testing.assert_array_equal(ds2.failed, failed)
+
+    kept = drop_failed(ds2)
+    assert kept.failed is None
+    assert len(kept.re_range) == 3
+    assert 150.0 not in kept.re_range  # the quarantined Re is gone
+    # prepare_inputs applies the filter implicitly.
+    data = ml_train.prepare_inputs(ds2, PRESETS["cnn_one"], u_lid=cfg.u_lid)
+    assert data.fnet.shape[0] == 3
+    # and a clean dataset (no failed.npy) is untouched
+    save_dataset(ds, d)
+    assert not np.any(ml_train.prepare_inputs(
+        load_dataset(d), PRESETS["cnn_one"], u_lid=cfg.u_lid
+    ).fnet.shape[0] != 4)
