@@ -166,6 +166,7 @@ def _make_kernel(cfg: SimConfig, lx: int, ly: int, tile_x: int, k_steps: int,
 def make_sharded_tblock_runner(
     cfg: SimConfig, n_steps: int, mesh: Mesh, k_steps: int = 16,
     interpret: bool = False, force_halo_layout: bool = False,
+    halo_impl: str = "ppermute",
 ):
     """N sharded steps per dispatch, K at a time per halo exchange.
     State-compatible with the jnp engines; remainder steps (``n_steps %
@@ -174,8 +175,15 @@ def make_sharded_tblock_runner(
     ``force_halo_layout`` opts an ``my == 1`` mesh into the y-sharded
     halo-lane layout (self-exchange rings): it lets a single chip drive the
     content-keyed mask path through the compiled Mosaic kernel, where the
-    multi-device parity tests only reach interpret mode."""
+    multi-device parity tests only reach interpret mode.
+
+    ``halo_impl`` selects the x-ring strip transport: ``"ppermute"`` (XLA
+    collectives, the validated default) or ``"rdma"`` (in-kernel
+    ``make_async_remote_copy`` pushes, ``kernels/halo_rdma.py`` — flag-gated
+    until real multi-chip hardware can validate the ``mx > 1`` path)."""
     cfg.validate()
+    if halo_impl not in ("ppermute", "rdma"):
+        raise ValueError(f"unknown halo_impl {halo_impl!r}")
     if cfg.boundary != "nebb":
         raise ValueError("sharded tblock implements the reduced NEBB walls")
     if cfg.turbulence == "smagorinsky" and cfg.van_driest:
@@ -212,6 +220,16 @@ def make_sharded_tblock_runner(
     n_tiles = lx // tile_x
     ox = tile_x
     kernel = _make_kernel(cfg, lx, ly, tile_x, k_steps, kp, py, y0, interpret)
+
+    x_exchange = None
+    if halo_impl == "rdma":
+        from .halo_rdma import make_x_halo_exchange
+
+        x_exchange = make_x_halo_exchange(
+            mx, lxp, py, kp, ox, lx,
+            jnp.float32 if cfg.precision == "float32" else jnp.float64,
+            interpret=interpret,
+        )
 
     n_blocks, rem = divmod(n_steps, k_steps)
 
@@ -260,15 +278,22 @@ def make_sharded_tblock_runner(
             up = _shift_strip(fp[:, :, y0 : y0 + kp], "my", my, -1)
             fp = jax.lax.dynamic_update_slice(fp, dn, (0, 0, 0))
             fp = jax.lax.dynamic_update_slice(fp, up, (0, 0, y0 + ly))
-        left = _shift_strip(fp[:, ox + lx - kp : ox + lx, :], "mx", mx, 1)
-        right = _shift_strip(fp[:, ox : ox + kp, :], "mx", mx, -1)
-        fp = jax.lax.dynamic_update_slice(fp, left, (0, ox - kp, 0))
-        fp = jax.lax.dynamic_update_slice(fp, right, (0, ox + lx, 0))
-        lid_l = _shift_strip(
-            rho_panel[ox + lx - kp : ox + lx, :], "mx", mx, 1)
-        lid_r = _shift_strip(rho_panel[ox : ox + kp, :], "mx", mx, -1)
-        rho_panel = jax.lax.dynamic_update_slice(rho_panel, lid_l, (ox - kp, 0))
-        rho_panel = jax.lax.dynamic_update_slice(rho_panel, lid_r, (ox + lx, 0))
+        if x_exchange is not None:
+            # In-kernel RDMA strip push (after the y phase, so the strips
+            # carry the fresh corner lanes exactly like the ppermute path).
+            fp, rho_panel = x_exchange(fp, rho_panel)
+        else:
+            left = _shift_strip(fp[:, ox + lx - kp : ox + lx, :], "mx", mx, 1)
+            right = _shift_strip(fp[:, ox : ox + kp, :], "mx", mx, -1)
+            fp = jax.lax.dynamic_update_slice(fp, left, (0, ox - kp, 0))
+            fp = jax.lax.dynamic_update_slice(fp, right, (0, ox + lx, 0))
+            lid_l = _shift_strip(
+                rho_panel[ox + lx - kp : ox + lx, :], "mx", mx, 1)
+            lid_r = _shift_strip(rho_panel[ox : ox + kp, :], "mx", mx, -1)
+            rho_panel = jax.lax.dynamic_update_slice(
+                rho_panel, lid_l, (ox - kp, 0))
+            rho_panel = jax.lax.dynamic_update_slice(
+                rho_panel, lid_r, (ox + lx, 0))
         fp, rho_panel = kernel_call(fp, rho_panel, sc)
         if my > 1:
             # Only the row-0 shards advanced the recurrence from the real

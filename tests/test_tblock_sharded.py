@@ -83,3 +83,44 @@ def test_sharded_tblock_rejects_thin_lane_shards():
                     mesh_shape=(1, 8))
     with pytest.raises(ValueError, match="narrower than the K'"):
         make_sharded_tblock_runner(cfg, 8, make_mesh((1, 8)), interpret=True)
+
+
+def test_rdma_halo_1x1_matches_ppermute():
+    """halo_impl='rdma' on a degenerate mesh (local-copy wrap) is
+    bit-identical to the ppermute path — the validation available without
+    multi-chip hardware (see kernels/halo_rdma.py STATUS)."""
+    cfg = SimConfig(nx=128, ny=64, reynolds=400.0, collision="mrt",
+                    precision="float32", mesh_shape=(1, 1))
+    mesh = make_mesh((1, 1))
+    base = make_sharded_tblock_runner(cfg, 8, mesh, k_steps=8,
+                                      interpret=True)
+    rdma = make_sharded_tblock_runner(cfg, 8, mesh, k_steps=8,
+                                      interpret=True, halo_impl="rdma")
+    s0 = shard_state(engine.init_state(cfg), mesh)
+    a = base(s0)
+    b = rdma(s0)
+    np.testing.assert_array_equal(np.asarray(a.f), np.asarray(b.f))
+    np.testing.assert_array_equal(np.asarray(a.rho_lid),
+                                  np.asarray(b.rho_lid))
+
+
+def test_rdma_halo_multichip_traces():
+    """The mx > 1 remote-RDMA path abstract-evaluates (shapes/avals are
+    consistent through shard_map + scan); Mosaic compilation and execution
+    need real multi-chip hardware (documented in halo_rdma.py)."""
+    cfg = SimConfig(nx=128, ny=128, reynolds=400.0, collision="mrt",
+                    precision="float32", mesh_shape=(2, 1))
+    mesh = make_mesh((2, 1))
+    runner = make_sharded_tblock_runner(cfg, 8, mesh, k_steps=8,
+                                        halo_impl="rdma")
+    s0 = shard_state(engine.init_state(cfg), mesh)
+    out = jax.eval_shape(runner, s0)
+    assert out.f.shape == s0.f.shape
+    assert out.rho_lid.shape == s0.rho_lid.shape
+
+
+def test_rdma_halo_rejects_unknown_impl():
+    cfg = SimConfig(nx=128, ny=64, precision="float32", mesh_shape=(1, 1))
+    mesh = make_mesh((1, 1))
+    with pytest.raises(ValueError, match="halo_impl"):
+        make_sharded_tblock_runner(cfg, 8, mesh, halo_impl="nope")
