@@ -115,9 +115,11 @@ def _optimizer(preset: CNNPreset, lr, schedule: Optional[str] = None,
                total_steps: int = 0, clip_norm: Optional[float] = None):
     """``schedule``: None (constant) | 'cosine' (decay to lr/100 over the
     run) | 'plateau' (staircase: /5 at 50% and 80% of the run) | 'inverse'
-    (Keras-style inverse-time decay lr/(1 + 0.02*step) — the reference's
+    or 'inverse:<rate>' (Keras-style inverse-time decay
+    lr/(1 + rate*step), rate defaulting to 0.02 — the reference's
     early-model recipe, e.g. ``CNNThree_192/CNN_Three.py:106``
-    ``RMSprop(lr=1e-4, decay=0.02)``).
+    ``RMSprop(lr=1e-4, decay=0.02)``; ``CNN_test.py`` retrains use
+    decay 0.04, i.e. 'inverse:0.04').
     ``clip_norm``: global-norm gradient clipping (stabilises raw-scaled
     presets like cnn_three whose early gradients can blow up at lr 1e-3)."""
     if schedule == "cosine":
@@ -125,9 +127,12 @@ def _optimizer(preset: CNNPreset, lr, schedule: Optional[str] = None,
     elif schedule == "plateau":
         lr = optax.piecewise_constant_schedule(
             lr, {int(total_steps * 0.5): 0.2, int(total_steps * 0.8): 0.2})
-    elif schedule == "inverse":
+    elif schedule == "inverse" or (
+        schedule is not None and schedule.startswith("inverse:")
+    ):
+        rate = float(schedule.split(":", 1)[1]) if ":" in schedule else 0.02
         lr0 = float(lr)
-        lr = lambda step: lr0 / (1.0 + 0.02 * step)  # noqa: E731
+        lr = lambda step: lr0 / (1.0 + rate * step)  # noqa: E731
     elif schedule is not None:
         raise ValueError(f"unknown lr schedule {schedule!r}")
     base = optax.adam(lr) if preset.optimizer == "adam" else optax.rmsprop(lr)

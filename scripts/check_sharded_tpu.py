@@ -33,7 +33,8 @@ def main() -> int:
 
     mesh = make_mesh((1, 1))
     failures = 0
-    for name in ("sharded-pallas", "sharded-tblock", "sharded-tblock-ylanes"):
+    for name in ("sharded-pallas", "sharded-tblock", "sharded-tblock-ylanes",
+                 "sharded-tblock-rdma"):
         t0 = time.perf_counter()
         if name == "sharded-pallas":
             from latticeboltzmannsimulations_tpu.kernels.pallas_pull_sharded import (  # noqa: E501
@@ -49,9 +50,12 @@ def main() -> int:
             # -ylanes drives the y-sharded halo-lane layout (content-keyed
             # wall masks, padded lanes, self-exchange rings) through the
             # compiled Mosaic path — the only way to validate it on 1 chip.
+            # -rdma drives the in-kernel DMA halo wrap (halo_rdma.py local
+            # variant) through the compiled path likewise.
             runner = make_sharded_tblock_runner(
                 cfg, n, mesh, k_steps=16,
-                force_halo_layout=name.endswith("ylanes"))
+                force_halo_layout=name.endswith("ylanes"),
+                halo_impl="rdma" if name.endswith("rdma") else "ppermute")
         out = runner(shard_state(engine.init_state(cfg), mesh))
         out_f = np.asarray(out.f)
         dt = time.perf_counter() - t0

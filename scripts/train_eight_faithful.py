@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Settle the cnn_eight question (VERDICT r3 weak #3): one full-budget run
+of the reference's OWN recipe at native 384² — RMSprop lr=1e-3 with
+Keras inverse-time decay 0.02, 600 epochs, batch 20
+(reference: ``CNNEight_384/CNN_Eight.py:145-151``) — both components.
+
+Outcome either way updates docs/RESULTS.md:
+  * beats the ~47% relL2 mean-predictor plateau -> the "architecture-bound"
+    conclusion from the 150-epoch Adam/RMSprop probes was wrong;
+  * reproduces the plateau at full budget -> the claim upgrades from
+    "150-epoch probes say" to "the reference's own recipe says", against
+    the reference's shipped ``CNN8_predict_Re10000.png``.
+
+Resumable (tpu_watchdog-compatible): a component whose weights file already
+exists on disk is skipped, so a relay-wedge restart continues where the
+previous process died.
+
+Usage:
+    python scripts/tpu_watchdog.py --log /tmp/eight_faithful.log -- \
+        python scripts/train_eight_faithful.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from latticeboltzmannsimulations_tpu.ml import datagen, predict, train as tr  # noqa: E402
+from latticeboltzmannsimulations_tpu.ml.models import PRESETS  # noqa: E402
+from train_full import HELD_OUT, evaluate, split_dataset  # noqa: E402
+
+NAME = "cnn_eight"
+EPOCHS = 600
+LR = 1e-3
+SCHEDULE = "inverse"  # Keras decay=0.02 parity (CNN_Eight.py:145)
+BATCH = 20
+
+t0 = time.time()
+
+
+def log(msg):
+    print(f"[{time.time() - t0:8.1f}s] {msg}", flush=True)
+
+
+def main() -> int:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data_dir = os.path.join(root, "data", "ml_full")
+    out_root = os.path.join(root, "docs", "artifacts", "ml_full")
+    out_dir = os.path.join(out_root, "cnn_eight_faithful")
+    os.makedirs(out_dir, exist_ok=True)
+
+    ds = datagen.load_dataset(data_dir)
+    meta = json.load(open(os.path.join(data_dir, "metadata.json")))
+    u_lid = meta.get("u_lid", 0.08)
+    train_ds, held = split_dataset(ds, HELD_OUT)
+    data = tr.prepare_inputs(train_ds, PRESETS[NAME], u_lid=u_lid)
+    log(f"dataset {ds.f_final.shape}; faithful {NAME} recipe: "
+        f"RMSprop lr={LR} {SCHEDULE} x {EPOCHS} epochs, batch {BATCH}")
+
+    fnet, aux = predict.build_input(NAME, 5000.0, ds.feq_initial,
+                                    data.scalers, u_lid=u_lid)
+
+    class _Loaded:
+        def __init__(self, params, history):
+            self.params = params
+            self.history = history
+
+    results = {}
+    for comp in ("x", "y"):
+        w_path = os.path.join(out_dir, f"{NAME}_{comp}.msgpack")
+        if os.path.exists(w_path):
+            params, meta_c = tr.load_weights(NAME, comp, out_dir, (fnet, aux))
+            results[comp] = _Loaded(params, meta_c["history"])
+            log(f"{comp}: resuming from existing weights "
+                f"({len(meta_c['history']['loss'])} epochs on disk)")
+            continue
+        res = tr.train(NAME, data, component=comp, epochs=EPOCHS,
+                       optimizer="rmsprop", learning_rate=LR,
+                       schedule=SCHEDULE, batch_size=BATCH, verbose=True)
+        tr.save_weights(res, out_dir, scalers=data.scalers)
+        tr.plot_history(res.history,
+                        os.path.join(out_dir, f"{NAME}_{comp}_loss.png"))
+        results[comp] = res
+        log(f"{comp}: {len(res.history['loss'])} epochs, final val MSE "
+            f"{res.history['val_loss'][-1]:.3e}")
+
+    recs = evaluate(NAME, results, data, ds, held, u_lid, out_dir, log)
+    summary_path = os.path.join(out_dir, "summary.json")
+    with open(summary_path, "w") as fh:
+        json.dump({
+            "recipe": {"optimizer": "rmsprop", "lr": LR,
+                       "schedule": SCHEDULE + " (Keras decay=0.02 parity, "
+                       "CNN_Eight.py:145)", "epochs": EPOCHS,
+                       "batch_size": BATCH},
+            "final_val_mse": {c: results[c].history["val_loss"][-1]
+                              for c in results},
+            "held_out_eval": recs,
+        }, fh, indent=1)
+    log(f"done -> {summary_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -133,7 +133,8 @@ def test_train_finetune_save_load_predict(small_dataset, tmp_path):
     assert "cnn_vs_lbm_l2" in metrics
 
 
-@pytest.mark.parametrize("schedule", ["cosine", "plateau", "inverse"])
+@pytest.mark.parametrize("schedule",
+                         ["cosine", "plateau", "inverse", "inverse:0.04"])
 def test_train_lr_schedules(small_dataset, schedule):
     cfg, ds = small_dataset
     data = ml_train.prepare_inputs(ds, PRESETS["cnn_one"], u_lid=cfg.u_lid)
