@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Temporal-block depth probe: K=16 vs K=24 at 2048² (then 4096² only if
+compiles stay sane) — the measurement r3 never landed because the K=24@4096²
+Mosaic compile killed the axon relay for the rest of the round.
+
+Safety rules encoded here (VERDICT r3 next-steps #6):
+  * each (size, K) measurement runs in its OWN subprocess with a hard
+    timeout, so an over-long remote compile cannot wedge the parent;
+  * 2048² first; the 4096² pair only runs if the K=24@2048² compile took
+    < COMPILE_CEILING_S (600 s) — ">10-min compiles are a bad sign";
+  * results append to docs/artifacts/k_probe.json as they land, so a
+    partial probe still records everything measured.
+
+Usage:   python scripts/probe_k24.py             # full probe
+         python scripts/probe_k24.py --child N K # internal (one measurement)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+COMPILE_CEILING_S = 600.0
+CHILD_TIMEOUT_S = 1500.0
+STEPS_PER_CHUNK = 480  # divisible by both 16 and 24
+N_CHUNKS = 4
+
+
+def child(n: int, k: int) -> int:
+    import numpy as np
+
+    from latticeboltzmannsimulations_tpu import engine
+    from latticeboltzmannsimulations_tpu.config import SimConfig
+    from latticeboltzmannsimulations_tpu.kernels.pallas_pull_tblock import (
+        make_scan_runner,
+    )
+
+    cfg = SimConfig(nx=n, ny=n, reynolds=5000.0, collision="mrt",
+                    precision="float32").validate()
+    state = engine.init_state(cfg)
+    runner = make_scan_runner(cfg, STEPS_PER_CHUNK, k_steps=k)
+    t0 = time.perf_counter()
+    state = runner(state)
+    float(np.asarray(state.f[0, 0, 0]))  # force (relay-safe)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(N_CHUNKS):
+        state = runner(state)
+    float(np.asarray(state.f[0, 0, 0]))
+    elapsed = time.perf_counter() - t0
+    mlups = n * n * STEPS_PER_CHUNK * N_CHUNKS * 1e-6 / elapsed
+    print(json.dumps({"n": n, "k": k, "mlups": round(mlups, 1),
+                      "compile_s": round(compile_s, 1)}), flush=True)
+    return 0
+
+
+def run_child(n: int, k: int):
+    t0 = time.monotonic()
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child",
+         str(n), str(k)],
+        capture_output=True, text=True, timeout=CHILD_TIMEOUT_S,
+    )
+    wall = time.monotonic() - t0
+    line = next((ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")), None)
+    if proc.returncode != 0 or line is None:
+        sys.stderr.write(proc.stderr[-2000:])
+        return {"n": n, "k": k, "error": f"rc={proc.returncode}",
+                "wall_s": round(wall, 1)}
+    rec = json.loads(line)
+    rec["wall_s"] = round(wall, 1)
+    return rec
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        return child(int(sys.argv[2]), int(sys.argv[3]))
+
+    out_path = os.path.join(ROOT, "docs", "artifacts", "k_probe.json")
+    records = (json.load(open(out_path))
+               if os.path.exists(out_path) else [])
+
+    def record(rec):
+        records.append(rec)
+        with open(out_path, "w") as fh:
+            json.dump(records, fh, indent=1)
+        print(json.dumps(rec), flush=True)
+
+    gate_4096 = True
+    for k in (16, 24):
+        rec = run_child(2048, k)
+        record(rec)
+        if "error" in rec or rec.get("compile_s", 1e9) > COMPILE_CEILING_S:
+            gate_4096 = False
+    if not gate_4096:
+        print("4096² pair skipped: 2048² compile exceeded the ceiling "
+              "or failed (r3 relay-kill guard)", flush=True)
+        return 0
+    for k in (16, 24):
+        record(run_child(4096, k))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
