@@ -162,6 +162,8 @@ def train(
     optimizer: Optional[str] = None,
     schedule: Optional[str] = None,
     clip_norm: Optional[float] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 25,
 ) -> TrainResult:
     """Train one velocity-component surrogate.  Pass ``init_params`` to
     fine-tune from saved weights at a lower LR (the ``CNN_test.py``
@@ -170,7 +172,14 @@ def train(
     ``optimizer`` overrides the preset's choice ('rmsprop' | 'adam').
     Measured on TPU at native 384²: optax RMSprop plateaus at the
     mean-predictor MSE for every LR probed (1e-4..1e-3) while Adam
-    descends normally, so full-resolution runs should pass 'adam'."""
+    descends normally, so full-resolution runs should pass 'adam'.
+
+    ``checkpoint_path`` enables mid-run resume: every ``checkpoint_every``
+    epochs the params, optimizer state (including any lr-schedule step
+    count) and history are written atomically; a restarted call with the
+    same arguments continues from the stored epoch with the identical
+    shuffle trajectory.  This is what lets the relay-wedge watchdog restart
+    a multi-hour TPU training leg without losing it."""
     preset = PRESETS[preset_name]
     if optimizer is not None:
         preset = dataclasses.replace(preset, optimizer=optimizer)
@@ -215,7 +224,18 @@ def train(
     shuffle_rng = np.random.default_rng(seed)
     va = jnp.asarray(va_idx)
     vaux = None if aux is None else aux[va]
-    for ep in range(epochs):
+
+    start_epoch = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        params, opt_state, history, start_epoch = _load_train_checkpoint(
+            checkpoint_path, params, opt_state)
+        for _ in range(start_epoch):  # replay the shuffle trajectory
+            shuffle_rng.permutation(tr_idx)
+        if verbose:
+            print(f"[{preset_name}/{component}] resumed at epoch "
+                  f"{start_epoch}/{epochs} from {checkpoint_path}")
+
+    for ep in range(start_epoch, epochs):
         order = shuffle_rng.permutation(tr_idx)
         losses = []
         for s in range(steps_per_epoch):
@@ -233,9 +253,38 @@ def train(
         if verbose:
             print(f"[{preset_name}/{component}] epoch {ep + 1}/{epochs} "
                   f"loss={history['loss'][-1]:.3e} val={vl:.3e}")
+        if checkpoint_path and (
+            (ep + 1) % checkpoint_every == 0 or ep + 1 == epochs
+        ):
+            _save_train_checkpoint(
+                checkpoint_path, params, opt_state, history, ep + 1)
 
     return TrainResult(params=jax.device_get(params), history=history,
                        preset=preset, component=component)
+
+
+def _save_train_checkpoint(path, params, opt_state, history, epoch) -> None:
+    """Atomic (tmp + rename) mid-training snapshot: flax-msgpack for the
+    (params, opt_state) pytree, JSON sidecar header for epoch/history."""
+    blob = serialization.to_bytes((jax.device_get(params),
+                                   jax.device_get(opt_state)))
+    header = json.dumps({"epoch": epoch, "history": history}).encode()
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(len(header).to_bytes(8, "little"))
+        fh.write(header)
+        fh.write(blob)
+    os.replace(tmp, path)
+
+
+def _load_train_checkpoint(path, params_template, opt_state_template):
+    with open(path, "rb") as fh:
+        hlen = int.from_bytes(fh.read(8), "little")
+        header = json.loads(fh.read(hlen))
+        blob = fh.read()
+    params, opt_state = serialization.from_bytes(
+        (params_template, opt_state_template), blob)
+    return params, opt_state, header["history"], int(header["epoch"])
 
 
 def fine_tune(preset_name: str, data: PreparedData, params: dict,

@@ -85,7 +85,9 @@ def main() -> int:
         t0 = time.time()
         res = tr.train(name, data, component="x", epochs=epochs,
                        optimizer=args.optimizer, learning_rate=args.lr,
-                       schedule=args.schedule, clip_norm=args.clip_norm)
+                       schedule=args.schedule, clip_norm=args.clip_norm,
+                       checkpoint_path=os.path.join(out_dir, f"{name}_x.ckpt"),
+                       checkpoint_every=25)
         dt = time.time() - t0
         tr.save_weights(res, out_dir, scalers=data.scalers)
         tr.plot_history(res.history,

@@ -83,7 +83,10 @@ def main() -> int:
             continue
         res = tr.train(NAME, data, component=comp, epochs=EPOCHS,
                        optimizer="rmsprop", learning_rate=LR,
-                       schedule=SCHEDULE, batch_size=BATCH, verbose=True)
+                       schedule=SCHEDULE, batch_size=BATCH, verbose=True,
+                       checkpoint_path=os.path.join(
+                           out_dir, f"{NAME}_{comp}.ckpt"),
+                       checkpoint_every=10)
         tr.save_weights(res, out_dir, scalers=data.scalers)
         tr.plot_history(res.history,
                         os.path.join(out_dir, f"{NAME}_{comp}_loss.png"))

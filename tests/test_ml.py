@@ -245,3 +245,30 @@ def test_failed_mask_persists_and_filters(small_dataset, tmp_path):
     assert not np.any(ml_train.prepare_inputs(
         load_dataset(d), PRESETS["cnn_one"], u_lid=cfg.u_lid
     ).fnet.shape[0] != 4)
+
+
+def test_train_checkpoint_resume_matches_uninterrupted(small_dataset, tmp_path):
+    """A training leg killed mid-run and restarted from its checkpoint
+    reproduces the uninterrupted run exactly (params + history), including
+    the shuffle trajectory and the lr-schedule step count."""
+    import jax
+
+    cfg, ds = small_dataset
+    data = ml_train.prepare_inputs(ds, PRESETS["cnn_one"], u_lid=cfg.u_lid)
+    kw = dict(component="x", batch_size=2, optimizer="rmsprop",
+              schedule="inverse", learning_rate=1e-3)
+
+    full = ml_train.train("cnn_one", data, epochs=6, **kw)
+
+    ckpt = str(tmp_path / "leg.ckpt")
+    ml_train.train("cnn_one", data, epochs=3, checkpoint_path=ckpt,
+                   checkpoint_every=1, **kw)  # "killed" after 3 epochs
+    resumed = ml_train.train("cnn_one", data, epochs=6, checkpoint_path=ckpt,
+                             checkpoint_every=1, **kw)
+
+    assert resumed.history["loss"] == pytest.approx(full.history["loss"])
+    flat_f = jax.tree_util.tree_leaves(full.params)
+    flat_r = jax.tree_util.tree_leaves(resumed.params)
+    for a, b in zip(flat_f, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
