@@ -26,7 +26,8 @@ def _add_cfg_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--u-lid", type=float, default=0.08)
     p.add_argument("--collision", choices=["srt", "trt", "mrt"], default="mrt")
     p.add_argument("--boundary", default="nebb",
-                   choices=["nebb", "nebb_west_eq", "bounce_back"])
+                   choices=["nebb", "nebb_west_eq", "nebb_tangential",
+                            "bounce_back"])
     p.add_argument("--turbulence", choices=["none", "smagorinsky"],
                    default="none")
     p.add_argument("--precision", choices=["float32", "float64"],
