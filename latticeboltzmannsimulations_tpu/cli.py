@@ -58,7 +58,7 @@ def cmd_run(args) -> int:
     opts = SimOptions(
         out_dir=args.out, save_plots=args.plots, save_vtk=args.vtk,
         checkpoint_every=args.checkpoint_every, resume_from=args.resume,
-        backend=args.backend,
+        backend=args.backend, profile_dir=args.profile,
     )
     s = simulate(cfg, opts)
     print(json.dumps(dataclass_dict(s)))
@@ -169,6 +169,9 @@ def main(argv=None) -> int:
                    choices=["auto", "jit", "pallas", "pallas-tblock",
                             "pallas-push", "sharded", "sharded-pallas",
                             "sharded-tblock"])
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the first compute "
+                        "chunk to DIR (Perfetto/TensorBoard)")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("datagen", help="Reynolds-sweep dataset generation")
