@@ -53,6 +53,31 @@ def test_dryrun_multichip_survives_dead_backend(monkeypatch, capsys):
     assert elapsed < 300  # driver kills at 600s; subprocess must be far under
 
 
+def test_entry_pins_cpu_when_relay_dead(monkeypatch, capsys):
+    """entry() on a dead relay must pin the process to CPU (so the driver's
+    jit compile-check completes) instead of hanging in backend init."""
+    import subprocess
+
+    sys.path.insert(0, ".")
+    import __graft_entry__ as g
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    monkeypatch.setattr(g, "_cpu_platform_selected", lambda: False)
+    monkeypatch.setattr(g, "_backend_already_initialized", lambda: False)
+
+    def _probe_times_out(cmd, **kw):
+        raise subprocess.TimeoutExpired(cmd, kw.get("timeout", 0))
+
+    monkeypatch.setattr(g.subprocess, "run", _probe_times_out)
+    fn, args = g.entry()
+    # under conftest the platform was already cpu; the guard must have
+    # (re-)pinned it rather than hung, and the step must still run
+    assert jax.config.jax_platforms.split(",")[0] == "cpu"
+    out_f, _ = jax.jit(fn)(*args)
+    assert np.all(np.isfinite(np.asarray(out_f)))
+    assert "relay did not answer" in capsys.readouterr().err
+
+
 def test_cpu_platform_selected_true_under_conftest():
     """The in-process fast path stays available to the (CPU-pinned) suite."""
     sys.path.insert(0, ".")
