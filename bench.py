@@ -107,31 +107,40 @@ def main() -> None:
     # Pallas path on a CPU backend) demotes to the fused-jnp runner instead
     # of burning retries; transient relay errors are printed and retried so
     # transient vs. real failures are distinguishable in the driver log.
-    backend = "pallas-pull"
     deterministic = (TypeError, ValueError, AttributeError, KeyError,
-                     NotImplementedError)
-    for attempt in range(4):
-        try:
-            state = engine.init_state(cfg)
-            runner = _build_runner(backend)
-            state = runner(state)
-            _force(state.f)
+                     ImportError, NotImplementedError)
+    runner = None
+    for backend in ("pallas-pull", "fused-jnp"):
+        for attempt in range(4):
+            try:
+                state = engine.init_state(cfg)
+                runner = _build_runner(backend)
+                state = runner(state)
+                _force(state.f)
+                break
+            except deterministic:
+                traceback.print_exc()
+                if backend == "fused-jnp":
+                    raise  # deterministic bug in the fallback — give up
+                print("pallas-pull warmup failed deterministically; "
+                      "falling back to fused-jnp", file=sys.stderr, flush=True)
+                runner = None
+                break  # skip remaining pallas attempts
+            except Exception:
+                traceback.print_exc()
+                runner = None
+                if attempt == 3:
+                    if backend == "fused-jnp":
+                        raise  # both backends exhausted their retries
+                    print("pallas-pull warmup kept failing; "
+                          "trying fused-jnp", file=sys.stderr, flush=True)
+                else:
+                    print(f"{backend} warmup attempt {attempt + 1} failed; "
+                          "retrying in 60s", file=sys.stderr, flush=True)
+                    time.sleep(60)
+        if runner is not None:
             break
-        except deterministic:
-            traceback.print_exc()
-            if backend == "fused-jnp":
-                raise  # deterministic bug in the fallback — retrying is useless
-            print("pallas-pull warmup failed deterministically; "
-                  "falling back to fused-jnp", file=sys.stderr, flush=True)
-            backend = "fused-jnp"
-        except Exception:
-            traceback.print_exc()
-            if attempt == 3:
-                raise
-            print(f"warmup attempt {attempt + 1} failed; retrying in 60s",
-                  file=sys.stderr, flush=True)
-            time.sleep(60)
-    else:
+    if runner is None:
         raise RuntimeError("benchmark warmup never succeeded")
 
     n_chunks = int(os.environ.get("LBM_BENCH_CHUNKS", "6"))

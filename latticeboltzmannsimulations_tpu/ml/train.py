@@ -225,15 +225,37 @@ def train(
     va = jnp.asarray(va_idx)
     vaux = None if aux is None else aux[va]
 
+    # The recipe fingerprint pins a checkpoint to the exact training run
+    # that wrote it: without it, a *completed* run's final checkpoint (same
+    # path, different lr/schedule/budget later) would resume at
+    # start_epoch >= epochs — zero training — and silently return the old
+    # recipe's params labeled as the new one's.  The epoch budget is part
+    # of the fingerprint only for schedules shaped by it (cosine/plateau);
+    # constant and inverse-time lr are budget-independent, so a killed
+    # 600-epoch leg may legitimately resume under any larger budget.
+    recipe = {"preset": preset_name, "component": component,
+              "batch_size": batch_size, "lr": learning_rate, "seed": seed,
+              "optimizer": preset.optimizer, "schedule": schedule,
+              "clip_norm": clip_norm,
+              "epochs": epochs if schedule in ("cosine", "plateau") else None}
+
     start_epoch = 0
     if checkpoint_path and os.path.exists(checkpoint_path):
-        params, opt_state, history, start_epoch = _load_train_checkpoint(
-            checkpoint_path, params, opt_state)
-        for _ in range(start_epoch):  # replay the shuffle trajectory
-            shuffle_rng.permutation(tr_idx)
-        if verbose:
-            print(f"[{preset_name}/{component}] resumed at epoch "
-                  f"{start_epoch}/{epochs} from {checkpoint_path}")
+        loaded = _load_train_checkpoint(checkpoint_path, params, opt_state,
+                                        recipe)
+        if loaded is not None and loaded[3] > epochs:
+            loaded = None  # stored progress exceeds this run's budget
+        if loaded is None:
+            print(f"[{preset_name}/{component}] checkpoint at "
+                  f"{checkpoint_path} is from a different recipe or budget; "
+                  "starting fresh", flush=True)
+        else:
+            params, opt_state, history, start_epoch = loaded
+            for _ in range(start_epoch):  # replay the shuffle trajectory
+                shuffle_rng.permutation(tr_idx)
+            if verbose:
+                print(f"[{preset_name}/{component}] resumed at epoch "
+                      f"{start_epoch}/{epochs} from {checkpoint_path}")
 
     for ep in range(start_epoch, epochs):
         order = shuffle_rng.permutation(tr_idx)
@@ -257,18 +279,21 @@ def train(
             (ep + 1) % checkpoint_every == 0 or ep + 1 == epochs
         ):
             _save_train_checkpoint(
-                checkpoint_path, params, opt_state, history, ep + 1)
+                checkpoint_path, params, opt_state, history, ep + 1, recipe)
 
     return TrainResult(params=jax.device_get(params), history=history,
                        preset=preset, component=component)
 
 
-def _save_train_checkpoint(path, params, opt_state, history, epoch) -> None:
+def _save_train_checkpoint(path, params, opt_state, history, epoch,
+                           recipe) -> None:
     """Atomic (tmp + rename) mid-training snapshot: flax-msgpack for the
-    (params, opt_state) pytree, JSON sidecar header for epoch/history."""
+    (params, opt_state) pytree, JSON sidecar header for epoch/history and
+    the recipe fingerprint that makes resume refuse foreign checkpoints."""
     blob = serialization.to_bytes((jax.device_get(params),
                                    jax.device_get(opt_state)))
-    header = json.dumps({"epoch": epoch, "history": history}).encode()
+    header = json.dumps({"epoch": epoch, "history": history,
+                         "recipe": recipe}).encode()
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
         fh.write(len(header).to_bytes(8, "little"))
@@ -277,11 +302,17 @@ def _save_train_checkpoint(path, params, opt_state, history, epoch) -> None:
     os.replace(tmp, path)
 
 
-def _load_train_checkpoint(path, params_template, opt_state_template):
+def _load_train_checkpoint(path, params_template, opt_state_template,
+                           recipe):
+    """Returns (params, opt_state, history, epoch), or None when the
+    checkpoint was written by a different recipe (or predates recipe
+    fingerprints) and must not be resumed from."""
     with open(path, "rb") as fh:
         hlen = int.from_bytes(fh.read(8), "little")
         header = json.loads(fh.read(hlen))
         blob = fh.read()
+    if header.get("recipe") != recipe:
+        return None
     params, opt_state = serialization.from_bytes(
         (params_template, opt_state_template), blob)
     return params, opt_state, header["history"], int(header["epoch"])

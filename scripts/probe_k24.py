@@ -62,11 +62,18 @@ def child(n: int, k: int) -> int:
 
 def run_child(n: int, k: int):
     t0 = time.monotonic()
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child",
-         str(n), str(k)],
-        capture_output=True, text=True, timeout=CHILD_TIMEOUT_S,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             str(n), str(k)],
+            capture_output=True, text=True, timeout=CHILD_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        # The exact scenario this probe exists to survive (the r3
+        # K=24@4096² compile wedged the relay): record the timeout as a
+        # measurement so the 4096² gate sees it and skips.
+        return {"n": n, "k": k, "error": f"timeout>{CHILD_TIMEOUT_S:.0f}s",
+                "wall_s": round(time.monotonic() - t0, 1)}
     wall = time.monotonic() - t0
     line = next((ln for ln in proc.stdout.splitlines()
                  if ln.startswith("{")), None)

@@ -17,7 +17,8 @@ Usage:
         python scripts/train_full.py --only cnn_three
 
 Exit code: the child's exit code on clean exit, 97 when restarts are
-exhausted, 98 on total timeout.
+exhausted, 98 on total timeout, 99 when a wedged child would not die
+(restarting would put a second process on the TPU).
 """
 
 from __future__ import annotations
@@ -45,19 +46,27 @@ def _cpu_seconds(pid: int) -> float | None:
     return (utime + stime) / _CLK
 
 
-def _kill_pid(pid: int, log) -> None:
-    """Terminate exactly this PID: TERM, grace, then KILL."""
+def _kill_child(child: subprocess.Popen, log) -> bool:
+    """Terminate exactly this child: TERM, grace, then KILL.
+
+    Death is confirmed by *reaping* through the Popen handle — a killed but
+    unreaped child remains a zombie whose ``/proc/<pid>/stat`` stays
+    readable, so /proc is not usable as an aliveness check here.  Returns
+    True iff the child was reaped; False means it is genuinely unkillable
+    (e.g. D-state against the wedged relay) and a restart would put a second
+    process on the TPU.
+    """
     for sig, grace in ((signal.SIGTERM, 10.0), (signal.SIGKILL, 5.0)):
         try:
-            os.kill(pid, sig)
+            child.send_signal(sig)
         except ProcessLookupError:
-            return
-        deadline = time.monotonic() + grace
-        while time.monotonic() < deadline:
-            if _cpu_seconds(pid) is None:
-                return
-            time.sleep(0.5)
-        log(f"pid {pid} survived {sig.name}; escalating")
+            pass
+        try:
+            child.wait(timeout=grace)
+            return True
+        except subprocess.TimeoutExpired:
+            log(f"pid {child.pid} survived {sig.name}; escalating")
+    return False
 
 
 def run_with_watchdog(cmd, log_path, stall_seconds=900.0, max_restarts=3,
@@ -89,7 +98,7 @@ def run_with_watchdog(cmd, log_path, stall_seconds=900.0, max_restarts=3,
             now = time.monotonic()
             if total_timeout and now - t_start > total_timeout:
                 log("total timeout exceeded; killing child")
-                _kill_pid(child.pid, log)
+                _kill_child(child, log)
                 return 98
             cpu = _cpu_seconds(child.pid)
             size = os.fstat(logf.fileno()).st_size
@@ -100,7 +109,11 @@ def run_with_watchdog(cmd, log_path, stall_seconds=900.0, max_restarts=3,
             elif now - last_progress > stall_seconds:
                 log(f"WEDGE: pid {child.pid} cpu stuck at {cpu:.1f}s and no "
                     f"output for {now - last_progress:.0f}s; killing")
-                _kill_pid(child.pid, log)
+                if not _kill_child(child, log):
+                    log("child unkillable (D-state against the relay?); "
+                        "NOT restarting — a restart would run two TPU "
+                        "processes concurrently")
+                    return 99
                 wedged = True
                 break
         if not wedged:

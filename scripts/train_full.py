@@ -47,9 +47,16 @@ def split_dataset(ds, held_out):
     train_ds = datagen.DatasetArrays(
         re_range=ds.re_range[mask], feq_initial=ds.feq_initial,
         f_final=ds.f_final[mask], u_final=ds.u_final[mask],
+        # carry the quarantine mask so prepare_inputs' drop_failed still
+        # sees it after the held-out split (zero-filled diverged slots must
+        # never train) ...
+        failed=None if ds.failed is None else ds.failed[mask],
     )
+    # ... and never evaluate against a quarantined (zero-filled) "truth".
     held = {float(r): ds.u_final[i]
-            for i, r in enumerate(ds.re_range) if float(r) in held_out}
+            for i, r in enumerate(ds.re_range)
+            if float(r) in held_out
+            and (ds.failed is None or not ds.failed[i])}
     return train_ds, held
 
 
@@ -57,6 +64,7 @@ def downsample(ds, k=2):
     return datagen.DatasetArrays(
         re_range=ds.re_range, feq_initial=ds.feq_initial[:, ::k, ::k],
         f_final=ds.f_final[:, :, ::k, ::k], u_final=ds.u_final[:, :, ::k, ::k],
+        failed=ds.failed,
     )
 
 

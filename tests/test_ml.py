@@ -247,6 +247,61 @@ def test_failed_mask_persists_and_filters(small_dataset, tmp_path):
     ).fnet.shape[0] != 4)
 
 
+def test_failed_mask_survives_split_and_downsample(small_dataset):
+    """The quarantine mask must ride through the training scripts' held-out
+    split and 384→192 downsample (code-review r4: split_dataset used to
+    rebuild DatasetArrays without it, silently defeating drop_failed), and
+    a quarantined Re must never become a held-out evaluation 'truth'."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from train_full import downsample, split_dataset
+
+    from latticeboltzmannsimulations_tpu.ml.datagen import DatasetArrays
+
+    cfg, ds = small_dataset
+    held_out = [float(ds.re_range[2])]
+    failed = np.array([False, True, True, False])  # one train, one held-out
+    bad = DatasetArrays(re_range=ds.re_range, feq_initial=ds.feq_initial,
+                        f_final=ds.f_final.copy(), u_final=ds.u_final.copy(),
+                        failed=failed)
+    bad.f_final[1] = bad.u_final[1] = 0.0
+    bad.f_final[2] = bad.u_final[2] = 0.0
+
+    train_ds, held = split_dataset(bad, held_out)
+    assert train_ds.failed is not None
+    np.testing.assert_array_equal(train_ds.failed, [False, True, False])
+    # the failed held-out Re must not be evaluated against its zero field
+    assert set(held) == set()
+    # and prepare_inputs drops the failed training slot post-split
+    data = ml_train.prepare_inputs(train_ds, PRESETS["cnn_one"],
+                                   u_lid=cfg.u_lid)
+    assert data.fnet.shape[0] == 2
+
+    small = downsample(train_ds)
+    np.testing.assert_array_equal(small.failed, train_ds.failed)
+
+
+def test_train_checkpoint_refuses_foreign_recipe(small_dataset, tmp_path):
+    """A completed run's final checkpoint must not be resumed by a later
+    train() with a different recipe/budget at the same path (code-review
+    r4: start_epoch >= epochs used to skip the loop and return the old
+    params labeled as the new recipe's)."""
+    cfg, ds = small_dataset
+    data = ml_train.prepare_inputs(ds, PRESETS["cnn_one"], u_lid=cfg.u_lid)
+    ckpt = str(tmp_path / "leg.ckpt")
+    kw = dict(component="x", batch_size=2, checkpoint_path=ckpt,
+              checkpoint_every=1)
+
+    ml_train.train("cnn_one", data, epochs=4, optimizer="rmsprop",
+                   learning_rate=1e-3, **kw)  # completes; final ckpt epoch=4
+    fresh = ml_train.train("cnn_one", data, epochs=2, optimizer="adam",
+                           learning_rate=1e-4, **kw)
+    # the foreign checkpoint was ignored: two adam epochs actually ran
+    assert len(fresh.history["loss"]) == 2
+
+
 def test_train_checkpoint_resume_matches_uninterrupted(small_dataset, tmp_path):
     """A training leg killed mid-run and restarted from its checkpoint
     reproduces the uninterrupted run exactly (params + history), including
