@@ -86,7 +86,10 @@ def main() -> None:
     # Env overrides (smoke tests / size probes); defaults are the headline.
     size = int(os.environ.get("LBM_BENCH_N", "1024"))
     cfg = SimConfig(
-        nx=size, ny=size, reynolds=5000.0, collision="mrt",
+        nx=size, ny=size, reynolds=5000.0,
+        # LBM_BENCH_COLLISION=srt isolates the collision cost (SRT≈MRT on
+        # this kernel => gather/memory-bound, no headroom in the operator).
+        collision=os.environ.get("LBM_BENCH_COLLISION", "mrt"),
         precision="float32",
     ).validate()
 
@@ -155,7 +158,8 @@ def main() -> None:
     if cpu_fallback:
         backend += "/cpu-fallback: TPU relay was down"
     print(json.dumps({
-        "metric": f"MLUPS {cfg.nx}x{cfg.ny} D2Q9 MRT cavity ({backend})",
+        "metric": (f"MLUPS {cfg.nx}x{cfg.ny} D2Q9 "
+                   f"{cfg.collision.upper()} cavity ({backend})"),
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / 2000.0, 3),

@@ -16,6 +16,11 @@ stage="${1:-quick}"
 case "$stage" in
   quick)
     echo "== bench =="         && timeout 2400 python bench.py 2>"$LOGDIR/bench.err" | tee "$LOGDIR/bench.json"
+    # SRT at the same size isolates the collision-operator cost: SRT≈MRT
+    # means the kernel is gather/memory-bound (no headroom in an MXU
+    # moment-transform offload); SRT>>MRT means the MRT algebra is hot.
+    echo "== bench srt =="      && LBM_BENCH_COLLISION=srt LBM_BENCH_CHUNKS=2 \
+        timeout 1800 python bench.py 2>>"$LOGDIR/bench.err" | tee "$LOGDIR/bench_srt.json"
     echo "== sharded checks ==" && timeout 2400 python scripts/check_sharded_tpu.py 2>&1 | tee "$LOGDIR/sharded.log"
     echo "== slow gates =="     && timeout 3600 python scripts/slow_gates.py 2>&1 | tee "$LOGDIR/gates.log"
     ;;
