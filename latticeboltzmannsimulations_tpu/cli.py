@@ -84,8 +84,18 @@ def cmd_datagen(args) -> int:
     ).validate()
     re_values = np.arange(args.re_start, args.re_stop, args.re_step,
                           dtype=np.float64)
+    mesh = None
+    if args.mesh:
+        import jax
+        from jax.sharding import Mesh
+
+        n_dev = 1
+        for v in args.mesh.lower().split("x"):
+            n_dev *= int(v)
+        if n_dev > 1:  # 1x1 = the single-chip default, no sharding
+            mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("batch",))
     ds = generate_dataset(cfg, re_values, batch_size=args.batch,
-                          progress=print)
+                          progress=print, mesh=mesh)
     save_dataset(ds, args.out)
     print(f"saved {len(re_values)} runs to {args.out}")
     return 0
@@ -185,6 +195,9 @@ def main(argv=None) -> int:
     p.add_argument("--interval", type=int, default=2000)
     p.add_argument("--smagorinsky", action=argparse.BooleanOptionalAction,
                    default=True)
+    p.add_argument("--mesh", default=None, metavar="MxN",
+                   help="spread each batch of cavities data-parallel over "
+                        "M*N devices (vmapped engine path)")
     p.set_defaults(fn=cmd_datagen)
 
     p = sub.add_parser("train", help="train CNN surrogate(s)")

@@ -236,6 +236,7 @@ def generate_dataset(
     batch_size: int = 32,
     progress: Optional[Callable[[str], None]] = None,
     on_batch: Optional[Callable] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> DatasetArrays:
     """Run the sweep and return the dataset arrays.
 
@@ -250,13 +251,21 @@ def generate_dataset(
     re-running with only the missing ``re_values``.  A cavity that diverges
     is quarantined — marked in ``failed`` with zeroed fields — and the rest
     of the sweep continues.
+
+    ``mesh`` spreads each batch of independent cavities over the device
+    mesh's first axis (data parallelism — the sweep is embarrassingly
+    parallel, so there is no communication besides the host-side
+    convergence reads; SURVEY §2.7 "sharded batch of independent cavities
+    across chips").  Batches that do not divide evenly run unsharded.  The
+    mesh path uses the vmapped engine (the stacked Pallas sweep is a
+    single-chip kernel; run one sweep process per chip for that).
     """
     if re_values is None:
         re_values = np.arange(100, 5100, 10, dtype=np.float64)  # 500 runs
     re_values = np.asarray(re_values, dtype=np.float64)
     n = len(re_values)
 
-    if _pallas_sweep_ok(cfg):
+    if mesh is None and _pallas_sweep_ok(cfg):
         if n > 1 and batch_size > 1:
             n_cav = min(batch_size, n)
             return _generate_stacked_pallas(cfg, re_values, n_cav, progress,
@@ -286,6 +295,13 @@ def generate_dataset(
             f=jnp.broadcast_to(state0.f, (b, *state0.f.shape)),
             rho_lid=jnp.broadcast_to(state0.rho_lid, (b, *state0.rho_lid.shape)),
         )
+        if mesh is not None and b % mesh.shape[mesh.axis_names[0]] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sb = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            state = engine.State(f=jax.device_put(state.f, sb),
+                                 rho_lid=jax.device_put(state.rho_lid, sb))
+            omegas = jax.device_put(omegas, sb)
         mean_past = np.full(b, np.inf)
         hits = np.zeros(b, dtype=int)
         fail_b = np.zeros(b, dtype=bool)

@@ -164,6 +164,7 @@ def train(
     clip_norm: Optional[float] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 25,
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> TrainResult:
     """Train one velocity-component surrogate.  Pass ``init_params`` to
     fine-tune from saved weights at a lower LR (the ``CNN_test.py``
@@ -179,7 +180,15 @@ def train(
     count) and history are written atomically; a restarted call with the
     same arguments continues from the stored epoch with the identical
     shuffle trajectory.  This is what lets the relay-wedge watchdog restart
-    a multi-hour TPU training leg without losing it."""
+    a multi-hour TPU training leg without losing it.
+
+    ``mesh`` enables data-parallel training over a device mesh (the scale
+    axis the reference's single-GPU Keras never had): each minibatch is
+    sharded over the mesh's first axis, parameters and optimizer state are
+    replicated, and XLA inserts the gradient all-reduce over ICI.
+    ``batch_size`` must divide evenly over that axis.  The minibatch
+    schedule is identical to the single-device run, so results match it up
+    to float reduction order."""
     preset = PRESETS[preset_name]
     if optimizer is not None:
         preset = dataclasses.replace(preset, optimizer=optimizer)
@@ -189,6 +198,21 @@ def train(
     check_grid(preset, data.fnet.shape[1], data.fnet.shape[2])
     epochs = preset.epochs if epochs is None else epochs
     batch_size = preset.batch_size if batch_size is None else batch_size
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        dp = mesh.shape[mesh.axis_names[0]]
+        if batch_size % dp:
+            raise ValueError(
+                f"data-parallel batch_size {batch_size} must divide over "
+                f"the mesh's first axis ({dp} devices)")
+        _shard_b = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        _shard_r = NamedSharding(mesh, PartitionSpec())
+        put_batch = lambda a: jax.device_put(a, _shard_b)  # noqa: E731
+        put_repl = lambda t: jax.device_put(t, _shard_r)  # noqa: E731
+    else:
+        put_batch = put_repl = lambda t: t  # noqa: E731
 
     x = jnp.asarray(data.fnet)
     aux = jnp.asarray(data.aux) if data.aux is not None else None
@@ -204,7 +228,8 @@ def train(
     tx = _optimizer(preset, learning_rate, schedule=schedule,
                     total_steps=max(1, len(tr_idx) // batch_size) * epochs,
                     clip_norm=clip_norm)
-    opt_state = tx.init(params)
+    params = put_repl(params)
+    opt_state = put_repl(tx.init(params))
 
     def loss_fn(p, xb, auxb, yb):
         pred = model.apply({"params": p}, xb) if auxb is None else \
@@ -251,6 +276,7 @@ def train(
                   "starting fresh", flush=True)
         else:
             params, opt_state, history, start_epoch = loaded
+            params, opt_state = put_repl(params), put_repl(opt_state)
             for _ in range(start_epoch):  # replay the shuffle trajectory
                 shuffle_rng.permutation(tr_idx)
             if verbose:
@@ -263,9 +289,9 @@ def train(
         for s in range(steps_per_epoch):
             bi = order[s * batch_size : (s + 1) * batch_size]
             bi = jnp.asarray(bi)
-            auxb = None if aux is None else aux[bi]
+            auxb = None if aux is None else put_batch(aux[bi])
             params, opt_state, loss = update(
-                params, opt_state, x[bi], auxb, y[bi]
+                params, opt_state, put_batch(x[bi]), auxb, put_batch(y[bi])
             )
             losses.append(loss)  # device scalar; fetched once per epoch
         ep_loss = float(jnp.mean(jnp.stack(losses)))

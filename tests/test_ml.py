@@ -247,6 +247,78 @@ def test_failed_mask_persists_and_filters(small_dataset, tmp_path):
     ).fnet.shape[0] != 4)
 
 
+def test_train_data_parallel_matches_single_device(small_dataset):
+    """train(mesh=...) — data-parallel over the mesh's first axis with
+    replicated params (SURVEY §2.7 scale axis) — reproduces the
+    single-device run up to float reduction order, on the identical
+    minibatch schedule."""
+    import jax
+    from jax.sharding import Mesh
+
+    cfg, ds = small_dataset
+    data = ml_train.prepare_inputs(ds, PRESETS["cnn_one"], u_lid=cfg.u_lid)
+    kw = dict(component="x", epochs=3, batch_size=3, learning_rate=1e-3,
+              optimizer="adam")
+    single = ml_train.train("cnn_one", data, **kw)
+    mesh = Mesh(np.asarray(jax.devices()[:3]), ("batch",))
+    dp = ml_train.train("cnn_one", data, mesh=mesh, **kw)
+
+    assert dp.history["loss"] == pytest.approx(single.history["loss"],
+                                               rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(single.params),
+                    jax.tree_util.tree_leaves(dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+    with pytest.raises(ValueError, match="divide"):
+        ml_train.train("cnn_one", data, mesh=mesh, component="x",
+                       epochs=1, batch_size=4)
+
+
+def test_dp_update_compiles_gradient_allreduce():
+    """The data-parallel step is genuinely partitioned: with a
+    batch-sharded minibatch and replicated params, the compiled update
+    must contain a cross-device gradient all-reduce (not a silent
+    all-gather-and-replicate)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from latticeboltzmannsimulations_tpu.ml.models import make_model
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("batch",))
+    model = make_model("cnn_one")
+    xb = jnp.zeros((4, 48, 48, 10), jnp.float32)
+    yb = jnp.zeros((4, 48, 48, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), xb[:1])["params"]
+    sb = NamedSharding(mesh, PartitionSpec("batch"))
+    sr = NamedSharding(mesh, PartitionSpec())
+    params = jax.device_put(params, sr)
+    xb, yb = jax.device_put(xb, sb), jax.device_put(yb, sb)
+
+    def loss(p, xb, yb):
+        return jnp.mean((model.apply({"params": p}, xb) - yb) ** 2)
+
+    txt = jax.jit(jax.grad(loss)).lower(params, xb, yb).compile().as_text()
+    assert "all-reduce" in txt
+
+
+def test_datagen_mesh_matches_single_device(small_dataset):
+    """generate_dataset(mesh=...): the sweep sharded over devices is the
+    same sweep — each cavity's trajectory is computed by exactly one
+    device with identical arithmetic, so the arrays match bitwise."""
+    import jax
+    from jax.sharding import Mesh
+
+    cfg, ds = small_dataset  # the unsharded reference sweep (batch_size=4)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("batch",))
+    ds_dp = generate_dataset(
+        cfg, re_values=np.array([100.0, 150.0, 200.0, 250.0]),
+        batch_size=4, mesh=mesh)
+    np.testing.assert_array_equal(ds_dp.f_final, ds.f_final)
+    np.testing.assert_array_equal(ds_dp.u_final, ds.u_final)
+
+
 def test_failed_mask_survives_split_and_downsample(small_dataset):
     """The quarantine mask must ride through the training scripts' held-out
     split and 384→192 downsample (code-review r4: split_dataset used to
