@@ -107,11 +107,21 @@ def cmd_train(args) -> int:
 
     ds = load_dataset(args.data)
     data = ml_train.prepare_inputs(ds, PRESETS[args.preset])
+    mesh = None
+    if getattr(args, "mesh", None):
+        import jax
+        from jax.sharding import Mesh
+
+        n_dev = 1
+        for v in args.mesh.lower().split("x"):
+            n_dev *= int(v)
+        if n_dev > 1:
+            mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("batch",))
     for comp in args.components.split(","):
         res = ml_train.train(
             args.preset, data, component=comp,
             epochs=args.epochs or None, batch_size=args.batch or None,
-            verbose=True,
+            verbose=True, mesh=mesh,
         )
         path = ml_train.save_weights(res, args.out, scalers=data.scalers)
         ml_train.plot_history(
@@ -207,6 +217,9 @@ def main(argv=None) -> int:
     p.add_argument("--components", default="x,y")
     p.add_argument("--epochs", type=int, default=0, help="0 = preset default")
     p.add_argument("--batch", type=int, default=0, help="0 = preset default")
+    p.add_argument("--mesh", default=None, metavar="MxN",
+                   help="data-parallel training over M*N devices "
+                        "(--batch must divide evenly)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("predict", help="surrogate inference + LBM/Ghia eval")
