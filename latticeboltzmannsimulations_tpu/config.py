@@ -57,7 +57,9 @@ class SimConfig:
     max_steps: int = 3000
     report_interval: int = 1000      # reference "Pinterval" (MRT.py:33)
     convergence_tol: float = 1e-8    # |d mean(u)| / uLB  (reference: MRTtest.py:915-921)
-    convergence_hits: int = 5        # consecutive passes required
+    convergence_hits: int = 5        # stop once hits EXCEED this (N+1
+    #                                  consecutive passes — the trajectory
+    #                                  contract pins this exact semantics)
 
     # --- parallelism ---
     # Device mesh shape (mx, my) for 2-D spatial domain decomposition.

@@ -39,7 +39,7 @@ from . import lattice
 from .config import SimConfig
 from .ops import boundary as bc_ops
 from .ops import collision as coll
-from .ops.equilibrium import equilibrium, lid_row_density, macroscopics
+from .ops.equilibrium import equilibrium, macroscopics
 from .ops.streaming import gather_pull, stream_push
 
 
@@ -280,7 +280,8 @@ def run_to_convergence(
 ) -> RunResult:
     """Chunked driver: ``report_interval`` steps per dispatch, then one scalar
     fetch for the convergence test |d mean(u)| / uLB < tol sustained for
-    ``convergence_hits`` checks (reference: MRTtest.py:915-921).
+    ``convergence_hits`` + 1 consecutive checks (the stop fires once hits
+    *exceed* the threshold; reference: MRTtest.py:915-921).
 
     ``callback(step, state, rho, u)`` runs every interval (plots/VTK/metrics).
     """

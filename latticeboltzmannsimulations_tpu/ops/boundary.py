@@ -160,6 +160,15 @@ def bounce_back(f: jnp.ndarray, fpost: jnp.ndarray, u_lid: float) -> jnp.ndarray
     f = f.at[4, sl, 0].set(fpost[2, sl, 0])
     f = f.at[7, sl, 0].set(fpost[5, sl, 0] - u_lid / 6.0)
     f = f.at[8, sl, 0].set(fpost[6, sl, 0] + u_lid / 6.0)
+    # Lid-corner closure (deliberate fix over the reference, whose
+    # interior-only Bouzidi slice leaves f4/f7 at (0,0) and f4/f8 at
+    # (nx-1,0) holding the jnp.roll wrap value from the bottom row every
+    # step).  The corner nodes sit where the moving lid meets a static
+    # wall; close them with plain (static) halfway bounce-back.
+    f = f.at[4, 0, 0].set(fpost[2, 0, 0])
+    f = f.at[7, 0, 0].set(fpost[5, 0, 0])
+    f = f.at[4, nx - 1, 0].set(fpost[2, nx - 1, 0])
+    f = f.at[8, nx - 1, 0].set(fpost[6, nx - 1, 0])
     return f
 
 

@@ -6,10 +6,12 @@ positive ``cy`` is a shift towards smaller y index.  This reproduces the
 reference's slice stencil (push: ``MRT.py:404-414``; pull gather:
 ``MRTTiledPull.py:403-429``).
 
-On TPU these are static-shape slice/roll ops that XLA lowers to cheap
-lane/sublane shifts; the boundary cells left untouched ("self fallback" in the
-pull case) are exactly the cells the boundary-condition pass rewrites, so the
-fallback value never survives a full step.
+On TPU these are static-shape roll ops that XLA lowers to cheap lane/sublane
+shifts.  Out-of-domain gathers WRAP (``jnp.roll``) — and the wrap value is
+**trajectory-visible** at the lid corners (the right-wall NEBB rewrite copies
+g8 into g6 *before* the lid rewrites g8), so every backend must reproduce
+the identical wrap semantics bit-for-bit (see the trajectory contract in
+CLAUDE.md; do NOT "fix" this to a clamped shift).
 """
 
 from __future__ import annotations
@@ -20,8 +22,9 @@ from .. import lattice
 
 
 def _shift(a: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
-    """Shift plane ``a (X, Y)`` by (dx, dy) in *index* space, edge cells keep
-    their own (unshifted) value."""
+    """Shift plane ``a (X, Y)`` by (dx, dy) in *index* space; edge cells
+    receive the WRAPPED value from the opposite edge (trajectory-visible at
+    the lid corners — see the module docstring)."""
     if dx == 0 and dy == 0:
         return a
     return jnp.roll(a, shift=(dx, dy), axis=(0, 1))
@@ -29,8 +32,9 @@ def _shift(a: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
 
 def stream_push(fpost: jnp.ndarray) -> jnp.ndarray:
     """Push streaming: population k of the result at (x, y) came from
-    (x - cx_k, y + cy_k).  Wrap-around edge values are bogus and must be
-    rewritten by the boundary pass (they are, for the cavity)."""
+    (x - cx_k, y + cy_k).  Wrap-around edge values are mostly rewritten by
+    the boundary pass; the few that survive (lid corners) are part of the
+    pinned trajectory."""
     return gather_pull(fpost)
 
 

@@ -99,16 +99,26 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
     experiments) run on the push-oracle engine, the only one that implements
     them."""
     if cfg.boundary != "nebb":
+        if cfg.mesh_shape != (1, 1):
+            raise ValueError(
+                f"boundary {cfg.boundary!r} runs on the single-chip "
+                f"push-oracle engine; requested mesh {cfg.mesh_shape} "
+                "would be silently ignored"
+            )
         runner, obs = _push_style(cfg, engine.make_push_oracle_step(cfg))
         return runner, obs, (lambda s: s), "push-oracle"
+    # Explicitly-requested single-chip backends must not silently drop a
+    # requested decomposition (code-review r4: 'pallas'/'pallas-tblock'/
+    # 'jit' with mesh_shape=(2,2) used to run single-chip with no error).
+    if opts.backend in ("pallas", "pallas-tblock", "pallas-push", "jit") \
+            and cfg.mesh_shape != (1, 1):
+        raise ValueError(
+            f"backend {opts.backend!r} is single-chip only; requested mesh "
+            f"{cfg.mesh_shape} would be silently ignored"
+        )
     if opts.backend == "pallas-push":
         # Explicit-only (never auto-selected): the E10-parity fused push
         # kernel — pull stays the production path (see pallas_push.py).
-        if cfg.mesh_shape != (1, 1):
-            raise ValueError(
-                "backend 'pallas-push' is single-chip only; requested mesh "
-                f"{cfg.mesh_shape} would be silently ignored"
-            )
         from .kernels import pallas_push
 
         interp = jax.default_backend() in ("cpu",)

@@ -28,10 +28,21 @@ def centerline_profiles(u: np.ndarray, u_lid: float):
     """
     u = np.asarray(u)
     nx, ny = u.shape[1], u.shape[2]
-    ux = u[0, nx // 2, :] / u_lid          # along y (index 0 = lid)
+    # On the node grid i/(n-1) an even n has no node at 0.5: column n//2
+    # sits at 0.5 + 1/(2(n-1)), half a cell off the true centerline, which
+    # folds an O(0.5%) systematic velocity error into every gate at the
+    # production sizes (96/160/512 are all even).  Average the two center
+    # columns — their midpoint is exactly 0.5.
+    if nx % 2 == 0:
+        ux = 0.5 * (u[0, nx // 2 - 1, :] + u[0, nx // 2, :]) / u_lid
+    else:
+        ux = u[0, nx // 2, :] / u_lid      # along y (index 0 = lid)
     y = 1.0 - np.arange(ny) / (ny - 1)     # convert to bottom-up coordinate
     order = np.argsort(y)
-    uy = u[1, :, ny // 2] / u_lid
+    if ny % 2 == 0:
+        uy = 0.5 * (u[1, :, ny // 2 - 1] + u[1, :, ny // 2]) / u_lid
+    else:
+        uy = u[1, :, ny // 2] / u_lid
     x = np.arange(nx) / (nx - 1)
     return (y[order], ux[order]), (x, uy)
 

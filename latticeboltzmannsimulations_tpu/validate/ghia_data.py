@@ -11,11 +11,15 @@ explicit mappings.  Coordinates are normalized to the cavity ([0, 1]^2) with
 y measured from the BOTTOM wall (Ghia's convention; note the framework's
 array index y=0 is the lid, see ``lattice.py``).
 
-Two widely-known transcription typos present in the reference's CSV are
-CORRECTED here (they are physically impossible, |u| <= 1 mid-cavity, and
-would poison the validation gates): Re=3200 Ux(y=0.4531) -0.86636 ->
--0.086636 and Re=400 Uy(x=0.9609) +0.15663 -> -0.15663 (reference:
-``GhiaData.csv`` rows 16 and 9).
+Three transcription typos present in the reference's CSV are CORRECTED
+here: Re=3200 Ux(y=0.4531) -0.86636 -> -0.086636 and Re=400 Uy(x=0.9609)
++0.15663 -> -0.15663 (physically impossible, |u| <= 1 mid-cavity, would
+poison the validation gates; reference ``GhiaData.csv`` rows 16 and 9),
+and the station coordinate 0.2831 -> 0.2813 (row 17): Ghia's Table I
+stations are nodes of the 129-point grid, and every other station is an
+exact k/128 (0.2813 = 36/128) while 0.2831*128 = 36.23 is not — a digit
+transposition that would sample the simulated profile ~0.002 cavity
+heights off at that station.
 """
 
 from __future__ import annotations
@@ -36,7 +40,7 @@ UX_MID_COLUMN = {
     0.6172: (-0.13641, 0.02135, 0.05702, 0.07156, 0.08183, 0.08342, 0.08344),
     0.5000: (-0.20581, -0.11477, -0.06080, -0.04272, -0.03039, -0.03800, 0.03111),
     0.4531: (-0.21090, -0.17119, -0.10648, -0.086636, -0.07404, -0.07503, -0.07540),
-    0.2831: (-0.15662, -0.32726, -0.27805, -0.24427, -0.22855, -0.23176, -0.23186),
+    0.2813: (-0.15662, -0.32726, -0.27805, -0.24427, -0.22855, -0.23176, -0.23186),
     0.1719: (-0.10150, -0.24299, -0.38289, -0.34323, -0.33050, -0.32393, -0.32709),
     0.1016: (-0.06434, -0.14612, -0.29730, -0.41933, -0.40435, -0.38324, -0.38000),
     0.0703: (-0.04775, -0.10338, -0.22220, -0.37827, -0.43643, -0.43025, -0.41657),
@@ -105,7 +109,12 @@ VORTICES = {
 # other station to < 0.01).  Kept verbatim in the tables above for parity;
 # excluded from the fidelity gates (compare_to_ghia drops them by default).
 SUSPECT_STATIONS = {
-    (400, "uy", 0.9063),  # -0.23827; neighbors imply ~ -0.36
+    (400, "uy", 0.9063),   # -0.23827; neighbors imply ~ -0.36
+    # +0.03111 breaks smoothness in BOTH directions: the y-neighbors
+    # (-0.07540 @0.4531, +0.08344 @0.6172) interpolate to ~ -0.029 at 0.5,
+    # and the Re-trend at y=0.5 is -0.04272 / -0.03039 / -0.03800 for
+    # Re=3200/5000/7500.  Almost certainly a sign typo for -0.03111.
+    (10000, "ux", 0.5000),
 }
 
 

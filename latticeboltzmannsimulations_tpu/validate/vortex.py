@@ -38,9 +38,12 @@ def find_vortex_centers(
         if np.all(np.isnan(masked)):
             break
         ix, iy = np.unravel_index(np.nanargmin(masked), masked.shape)
-        # normalized coordinates, y flipped to bottom-up (reference: MRT.py:551)
-        centers.append((ix / nx, (ny - 1 - iy) / ny))
-        x0, x1 = max(0, ix - bc_offset), min(nx, ix + bc_offset)
-        y0, y1 = max(0, iy - bc_offset), min(ny, iy + bc_offset)
+        # node-grid normalization i/(n-1) — the convention of the Ghia
+        # vortex tables this is compared against — with y flipped to
+        # bottom-up (reference: MRT.py:551, which divided by n and biased
+        # every position ~half a cell toward the origin)
+        centers.append((ix / (nx - 1), (ny - 1 - iy) / (ny - 1)))
+        x0, x1 = max(0, ix - bc_offset), min(nx, ix + bc_offset + 1)
+        y0, y1 = max(0, iy - bc_offset), min(ny, iy + bc_offset + 1)
         masked[x0:x1, y0:y1] = np.nan
     return centers

@@ -95,6 +95,24 @@ def test_ghia_table_typo_corrections():
     xs, uy400 = ghia_data.uy_table(400.0)
     near_right = uy400[(xs > 0.9) & (xs < 1.0)]
     assert (near_right < 0).all()
+    # third correction: every interior station is a node of Ghia's 129-point
+    # grid (k/128) — in particular 0.2813, not the CSV's transposed 0.2831
+    ys, _ = ghia_data.ux_table(1000.0)
+    for y in ys:
+        assert abs(y * 128 - round(y * 128)) < 0.13, y
+    assert 0.2813 in ys and 0.2831 not in ys
+
+
+def test_re10000_midline_station_suspect():
+    """+0.03111 at (Re=10000, ux, y=0.5) breaks profile smoothness in both y
+    and Re (likely sign typo); it must be excluded from the gates."""
+    from latticeboltzmannsimulations_tpu.validate import ghia_data
+    from latticeboltzmannsimulations_tpu.validate.ghia import compare_to_ghia
+
+    assert ghia_data.is_suspect(10000.0, "ux", 0.5)
+    u = np.zeros((2, 64, 64), np.float32)
+    gated = compare_to_ghia(u, 0.08, 10000.0)
+    assert 0.5 not in gated.y_stations
 
 
 def test_suspect_station_excluded():
