@@ -90,11 +90,15 @@ class Checkpointer:
                      else step - self._last_saved_step)
             if since < self.every:
                 return
+        if not bool(np.isfinite(np.asarray(u)).all()):
+            # Never persist a diverged state: a fresh process's cold scan
+            # picks the NEWEST file, and a known-bad newest checkpoint
+            # would make blow-up recovery restore the blow-up itself.
+            return
         self._last_saved_step = step
         path = os.path.join(self.directory, f"ckpt_{step:08d}.npz")
         save_checkpoint(path, state, step, self.cfg)
-        if bool(np.isfinite(np.asarray(u)).all()):
-            self.last_good = path
+        self.last_good = path
         self._saved.append(path)
         while len(self._saved) > self.keep:
             old = self._saved.pop(0)
@@ -103,11 +107,18 @@ class Checkpointer:
 
     def restore_last_good(self) -> Tuple[State, int]:
         if self.last_good is None:
-            # cold scan of the directory (fresh process)
+            # Cold scan of the directory (fresh process).  Every persisted
+            # checkpoint was finite when written (see __call__), so the
+            # newest is the last good one.
             cands = sorted(
                 p for p in os.listdir(self.directory) if p.endswith(".npz")
             )
             if not cands:
                 raise FileNotFoundError(f"no checkpoints in {self.directory}")
             self.last_good = os.path.join(self.directory, cands[-1])
-        return load_checkpoint(self.last_good, self.cfg)
+        state, step = load_checkpoint(self.last_good, self.cfg)
+        # Rewind the save clock to the restore point, else no checkpoint
+        # is written while the replay window re-runs (a second failure
+        # there would lose the whole window).
+        self._last_saved_step = step
+        return state, step

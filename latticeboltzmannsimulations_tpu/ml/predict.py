@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 from typing import Dict, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -19,7 +18,6 @@ from .. import engine
 from ..config import SimConfig
 from ..validate import compare_to_ghia, find_vortex_centers
 from ..validate.ghia_data import has_reynolds
-from .datagen import DatasetArrays
 from .models import PRESETS, make_model
 from .scaling import MaxScaler, MinMaxScaler
 

@@ -131,6 +131,34 @@ def test_checkpointer_resume_seeds_save_clock(tmp_path):
     assert files == ["ckpt_00000600.npz"]
 
 
+def test_checkpointer_never_persists_diverged_state(tmp_path):
+    """Blow-up recovery (code-review r4): a non-finite state must not be
+    written at all — a fresh process's cold scan takes the NEWEST file, so
+    a persisted NaN checkpoint would be restored as 'last good' — and the
+    save clock must rewind on restore so the replay window is protected."""
+    cfg = SimConfig(nx=32, ny=32, reynolds=100.0)
+    state = engine.init_state(cfg)
+    rho, u = engine.observables(cfg, state)
+    bad_u = np.asarray(u).copy()
+    bad_u[0, 5, 5] = np.nan
+
+    ck = Checkpointer(str(tmp_path), cfg, every=100, keep=2)
+    ck(100, state, rho, u)       # good
+    ck(200, state, rho, bad_u)   # diverged: must not be persisted
+    files = [p for p in os.listdir(tmp_path) if p.endswith(".npz")]
+    assert files == ["ckpt_00000100.npz"]
+
+    # a FRESH process (cold scan) restores the good checkpoint...
+    ck2 = Checkpointer(str(tmp_path), cfg, every=100, keep=2)
+    restored, step = ck2.restore_last_good()
+    assert step == 100
+    # ...and its save clock is rewound to the restore point, so the replay
+    # window gets checkpointed again on schedule
+    ck2(200, restored, rho, u)
+    files = sorted(p for p in os.listdir(tmp_path) if p.endswith(".npz"))
+    assert files == ["ckpt_00000100.npz", "ckpt_00000200.npz"]
+
+
 def test_metrics_logger(tmp_path):
     path = str(tmp_path / "m.jsonl")
     with MetricsLogger(path) as m:
