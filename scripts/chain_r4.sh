@@ -7,6 +7,7 @@
 #   bash scripts/chain_r4.sh cnn8       # cnn_eight full-budget faithful run
 # Never run near round end: the driver's bench.py must own the chip.
 set -u
+set -o pipefail  # '... | tee log' must propagate the left side's rc (99!)
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 LOGDIR=/tmp/r4_chain
@@ -32,7 +33,9 @@ case "$stage" in
         --seven-384-epochs 0
     ;;
   kprobe)
-    timeout 7200 python scripts/probe_k24.py 2>&1 | tee "$LOGDIR/kprobe.log"
+    # inner ceiling < the supervisor's 7200s budget so the probe's own
+    # bounded-children logic (and its rc) wins over a blunt outer kill
+    timeout -k 30 7000 python scripts/probe_k24.py 2>&1 | tee "$LOGDIR/kprobe.log"
     ;;
   cnn8)
     python scripts/tpu_watchdog.py --stall-seconds 900 --max-restarts 5 \

@@ -62,23 +62,37 @@ def child(n: int, k: int) -> int:
 
 def run_child(n: int, k: int):
     t0 = time.monotonic()
+    # Popen + bounded communicate, NOT subprocess.run: run()'s internal
+    # TimeoutExpired handler calls kill() then an *untimed* wait(), which
+    # blocks forever on a D-state child — the exact r3 wedge this probe
+    # exists to survive.
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child",
+         str(n), str(k)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             str(n), str(k)],
-            capture_output=True, text=True, timeout=CHILD_TIMEOUT_S,
-        )
+        out, err = proc.communicate(timeout=CHILD_TIMEOUT_S)
     except subprocess.TimeoutExpired:
-        # The exact scenario this probe exists to survive (the r3
-        # K=24@4096² compile wedged the relay): record the timeout as a
+        proc.kill()
+        try:
+            out, err = proc.communicate(timeout=30)
+        except subprocess.TimeoutExpired:
+            # Unkillable child: it may still hold the chip.  fatal=True
+            # makes main() stop the whole probe rather than pile a second
+            # TPU process on top.
+            return {"n": n, "k": k, "fatal": True,
+                    "error": "child unkillable after SIGKILL (D-state?)",
+                    "wall_s": round(time.monotonic() - t0, 1)}
+        # The r3 scenario (over-long compile): record the timeout as a
         # measurement so the 4096² gate sees it and skips.
         return {"n": n, "k": k, "error": f"timeout>{CHILD_TIMEOUT_S:.0f}s",
                 "wall_s": round(time.monotonic() - t0, 1)}
+
     wall = time.monotonic() - t0
-    line = next((ln for ln in proc.stdout.splitlines()
-                 if ln.startswith("{")), None)
+    line = next((ln for ln in out.splitlines() if ln.startswith("{")), None)
     if proc.returncode != 0 or line is None:
-        sys.stderr.write(proc.stderr[-2000:])
+        sys.stderr.write(err[-2000:])
         return {"n": n, "k": k, "error": f"rc={proc.returncode}",
                 "wall_s": round(wall, 1)}
     rec = json.loads(line)
@@ -91,19 +105,33 @@ def main() -> int:
         return child(int(sys.argv[2]), int(sys.argv[3]))
 
     out_path = os.path.join(ROOT, "docs", "artifacts", "k_probe.json")
-    records = (json.load(open(out_path))
-               if os.path.exists(out_path) else [])
+    records = []
+    if os.path.exists(out_path):
+        try:
+            records = json.load(open(out_path))
+        except (json.JSONDecodeError, OSError):
+            # a previous run was killed mid-write with the old non-atomic
+            # writer; keep the evidence, start a fresh record
+            os.replace(out_path, out_path + ".corrupt")
+            print(f"previous {out_path} was corrupt; moved aside",
+                  file=sys.stderr, flush=True)
 
     def record(rec):
         records.append(rec)
-        with open(out_path, "w") as fh:
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(records, fh, indent=1)
+        os.replace(tmp, out_path)  # atomic: a kill cannot truncate it
         print(json.dumps(rec), flush=True)
 
     gate_4096 = True
     for k in (16, 24):
         rec = run_child(2048, k)
         record(rec)
+        if rec.get("fatal"):
+            print("probe aborted: unkillable child may still hold the "
+                  "chip", file=sys.stderr, flush=True)
+            return 99
         if "error" in rec or rec.get("compile_s", 1e9) > COMPILE_CEILING_S:
             gate_4096 = False
     if not gate_4096:
@@ -111,7 +139,10 @@ def main() -> int:
               "or failed (r3 relay-kill guard)", flush=True)
         return 0
     for k in (16, 24):
-        record(run_child(4096, k))
+        rec = run_child(4096, k)
+        record(rec)
+        if rec.get("fatal"):
+            return 99
     return 0
 
 

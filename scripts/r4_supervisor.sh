@@ -8,11 +8,19 @@
 # Stages: quick (bench + compiled sharded checks + slow gates), cnn3,
 # kprobe, cnn8 — see scripts/chain_r4.sh.  A stage is only *launched* while
 # now + its budget fits inside the deadline; each stage is also wrapped in
-# `timeout` clamped to the remaining window, so nothing outlives it.
+# `timeout -k 30` clamped to its budget, so nothing outlives it.  The chain
+# ABORTS if a stage signals the chip may still be held (tpu_watchdog rc=99:
+# unkillable child) — launching the next stage would put two processes on
+# the TPU.
 set -u
 cd "$(dirname "$0")/.."
 DEADLINE="${1:?usage: r4_supervisor.sh <deadline-epoch> [start-stage]}"
 START_STAGE="${2:-quick}"
+STAGES="quick:10800 cnn3:9000 kprobe:7200 cnn8:18000"
+case " quick cnn3 kprobe cnn8 " in
+  *" $START_STAGE "*) ;;
+  *) echo "unknown start stage '$START_STAGE'" >&2; exit 2;;
+esac
 LOGDIR=/tmp/r4_chain
 mkdir -p "$LOGDIR"
 LOG="$LOGDIR/supervisor.log"
@@ -27,7 +35,7 @@ print(jax.devices()[0])
 " >> "$LOG" 2>&1
 }
 
-say "supervisor start; deadline=$DEADLINE ($(date -ud @"$DEADLINE" +%H:%M:%S)Z)"
+say "supervisor start; deadline=$DEADLINE ($(date -ud @"$DEADLINE" +%H:%M:%S)Z), start=$START_STAGE"
 
 # Phase 1: wait for the relay (probe every 3 min; each probe capped at 5 min).
 until probe; do
@@ -41,30 +49,36 @@ until probe; do
 done
 say "RELAY ALIVE — starting the chain at stage $START_STAGE"
 
-# Phase 2: the chain.  budget = generous per-stage wall ceiling (seconds);
-# a stage is skipped (not truncated) if it cannot start with full budget.
+# Phase 2: the chain.  budget = per-stage wall ceiling (seconds), sized to
+# cover the stage's own internal timeouts; a stage is skipped (not
+# truncated) if it cannot start with full budget.
 run_stage() {
   local stage="$1" budget="$2"
   local now remaining
   now=$(date +%s); remaining=$((DEADLINE - now))
   if [ "$remaining" -lt "$budget" ]; then
     say "SKIP $stage: needs ${budget}s, only ${remaining}s left"
-    return 1
+    return 0
   fi
   say "RUN $stage (budget ${budget}s, ${remaining}s to deadline)"
-  timeout "$budget" bash scripts/chain_r4.sh "$stage" \
+  timeout -k 30 "$budget" bash scripts/chain_r4.sh "$stage" \
       >> "$LOGDIR/$stage.out" 2>&1
   local rc=$?
   say "DONE $stage rc=$rc"
+  if [ "$rc" -eq 99 ]; then
+    say "ABORT chain: stage $stage reports an unkillable TPU child (rc=99);"
+    say "launching another stage would run two processes on the chip"
+    return 99
+  fi
   return 0
 }
 
 started=false
-for spec in quick:5400 cnn3:9000 kprobe:7200 cnn8:18000; do
+for spec in $STAGES; do
   stage="${spec%%:*}"; budget="${spec##*:}"
   if ! $started; then
     [ "$stage" = "$START_STAGE" ] && started=true || continue
   fi
-  run_stage "$stage" "$budget"
+  run_stage "$stage" "$budget" || exit 99
 done
 say "supervisor finished"

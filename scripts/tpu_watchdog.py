@@ -98,7 +98,10 @@ def run_with_watchdog(cmd, log_path, stall_seconds=900.0, max_restarts=3,
             now = time.monotonic()
             if total_timeout and now - t_start > total_timeout:
                 log("total timeout exceeded; killing child")
-                _kill_child(child, log)
+                if not _kill_child(child, log):
+                    log("child unkillable at total timeout; rc=99 so "
+                        "callers know the TPU may still be held")
+                    return 99
                 return 98
             cpu = _cpu_seconds(child.pid)
             size = os.fstat(logf.fileno()).st_size

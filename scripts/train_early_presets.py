@@ -97,6 +97,12 @@ def main() -> int:
         u_cnn = predict.predict_velocity(name, res.params, res.params,
                                          fnet, aux, data.scalers)
         i = int(np.argwhere(eval_ds.re_range == EVAL_RE)[0, 0])
+        if eval_ds.failed is not None and eval_ds.failed[i]:
+            # never score against a quarantined (zero-filled) "truth" —
+            # rel_l2 would divide by ||0||
+            raise RuntimeError(
+                f"eval Re={EVAL_RE:g} is quarantined in this dataset; "
+                "pick another EVAL_RE")
         u_true = eval_ds.u_final[i]
         h = res.history
         rec = {
