@@ -97,6 +97,27 @@ def pick_tile_x(nx: int, ny: int, vmem_budget_bytes: int | None = None) -> int:
     return tx
 
 
+def _make_window_dma(nx_total: int, tile_x: int, f_hbm, scratch, sem):
+    """The 8-aligned clipped x-halo staging copy (HBM window -> VMEM
+    scratch slot).  Shared verbatim with the push kernel
+    (``pallas_push.py``): the stale-column safety argument at both call
+    sites depends on this exact clip-and-slide arithmetic, so there is
+    exactly one definition."""
+
+    def window_dma(t, slot):
+        src0 = pl.multiple_of(
+            jnp.clip(t * tile_x - 8, 0, nx_total - (tile_x + 16)), 8
+        )
+        dst0 = pl.multiple_of(src0 - (t * tile_x - 16), 8)  # {0, 8, 16}
+        return pltpu.make_async_copy(
+            f_hbm.at[:, pl.ds(src0, tile_x + 16), :],
+            scratch.at[slot, :, pl.ds(dst0, tile_x + 16), :],
+            sem.at[slot],
+        )
+
+    return window_dma
+
+
 def _lane_roll(plane: jnp.ndarray, shift: int, interpret: bool) -> jnp.ndarray:
     if shift == 0:
         return plane
@@ -155,16 +176,7 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
         # across them, so each program prefetches the NEXT tile's window
         # into the other buffer slot before computing — the fetch rides
         # under the current tile's compute instead of stalling it.
-        def window_dma(t, slot):
-            src0 = pl.multiple_of(
-                jnp.clip(t * tile_x - 8, 0, nx_total - (tile_x + 16)), 8
-            )
-            dst0 = pl.multiple_of(src0 - (t * tile_x - 16), 8)  # {0, 8, 16}
-            return pltpu.make_async_copy(
-                f_hbm.at[:, pl.ds(src0, tile_x + 16), :],
-                scratch.at[slot, :, pl.ds(dst0, tile_x + 16), :],
-                sem.at[slot],
-            )
+        window_dma = _make_window_dma(nx_total, tile_x, f_hbm, scratch, sem)
 
         if n_buf == 2:
             slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))

@@ -49,11 +49,11 @@ from ..engine import State, _collide
 from ..ops.equilibrium import equilibrium, lid_row_density, macroscopics
 from .pallas_pull import _compiler_params, _lane_roll, pick_tile_x
 
-_SPECS_STATE = (P(None, "mx", "my"), P("mx"))
-
-
-def _ring(n: int, shift: int):
-    return [(i, (i + shift) % n) for i in range(n)]
+# Shared with the ppermute halo engine: the State sharding specs and the
+# periodic ring permutation MUST stay identical across backends (the
+# sharded runners are bit-pinned against each other), so there is exactly
+# one definition, in parallel/halo.py.
+from ..parallel.halo import _SPECS_STATE, _ring  # noqa: E402
 
 
 def _shift_strip(x, axis_name: str, n: int, shift: int):

@@ -55,6 +55,7 @@ from .pallas_pull import (
     _compiler_params,
     _is_small_field,
     _lane_roll,
+    _make_window_dma,
     pick_tile_x,
 )
 
@@ -71,16 +72,7 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool, n_buf: int):
         last = i == n_tiles - 1
 
         # --- stage the x-halo window HBM -> VMEM (pallas_pull layout) ------
-        def window_dma(t, slot):
-            src0 = pl.multiple_of(
-                jnp.clip(t * tile_x - 8, 0, nx - (tile_x + 16)), 8
-            )
-            dst0 = pl.multiple_of(src0 - (t * tile_x - 16), 8)  # {0, 8, 16}
-            return pltpu.make_async_copy(
-                f_hbm.at[:, pl.ds(src0, tile_x + 16), :],
-                scratch.at[slot, :, pl.ds(dst0, tile_x + 16), :],
-                sem.at[slot],
-            )
+        window_dma = _make_window_dma(nx, tile_x, f_hbm, scratch, sem)
 
         if n_buf == 2:
             slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
