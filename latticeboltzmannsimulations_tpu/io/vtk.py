@@ -35,6 +35,38 @@ def _flatten_cellwise(arr: np.ndarray) -> np.ndarray:
     return arr.flatten(order="F")
 
 
+class _AppendedBlock:
+    """Raw-encoded appended-data block: each array is a little-endian u32
+    length prefix + bytes; ``append`` returns the byte offset inside the
+    block (what the XML ``DataArray offset=`` attribute references).
+    Shared by all three writers so the framing exists exactly once."""
+
+    def __init__(self):
+        self._blobs: list[bytes] = []
+        self._off = 0
+
+    def append(self, a: np.ndarray) -> int:
+        raw = np.ascontiguousarray(a).tobytes()
+        self._blobs.append(struct.pack("<I", len(raw)) + raw)
+        off = self._off
+        self._off += 4 + len(raw)
+        return off
+
+    def write(self, fh) -> None:
+        for b in self._blobs:
+            fh.write(b)
+
+
+def _write_vtk_file(path: str, lines: list, block: _AppendedBlock) -> str:
+    """Emit XML header lines + '<AppendedData>_' + block + footer."""
+    lines = lines + ['  <AppendedData encoding="raw">']
+    with open(path, "wb") as fh:
+        fh.write(("\n".join(lines) + "\n_").encode())
+        block.write(fh)
+        fh.write("\n  </AppendedData>\n</VTKFile>\n".encode())
+    return path
+
+
 def write_vtr(
     path: str,
     cell_data: Dict[str, np.ndarray],
@@ -54,26 +86,14 @@ def write_vtr(
     ys = np.arange(ny + 1, dtype=np.float64) * spacing[1]
     zs = np.zeros(1, dtype=np.float64)
 
-    # Build appended block (raw encoding: each array prefixed by u32 length).
-    blobs = []
-    offsets = []
-    off = 0
-    def append(a: np.ndarray):
-        nonlocal off
-        raw = np.ascontiguousarray(a).tobytes()
-        blobs.append(struct.pack("<I", len(raw)) + raw)
-        offsets.append(off)
-        off += 4 + len(raw)
-
-    for a in (xs, ys, zs):
-        append(a)
+    blk = _AppendedBlock()
+    coord_offs = [blk.append(a) for a in (xs, ys, zs)]
     arrays = []
     for name, arr in cell_data.items():
         arr = np.asarray(arr)
         ncomp = arr.shape[0] if arr.ndim == 3 else 1
         flat = _flatten_cellwise(arr)
-        arrays.append((name, ncomp, _VTK_TYPES[flat.dtype]))
-        append(flat)
+        arrays.append((name, ncomp, _VTK_TYPES[flat.dtype], blk.append(flat)))
 
     extent = f"0 {nx} 0 {ny} 0 0"
     lines = [
@@ -84,14 +104,14 @@ def write_vtr(
         f'    <Piece Extent="{extent}">',
         "      <Coordinates>",
     ]
-    for i, (nm, a) in enumerate((("x", xs), ("y", ys), ("z", zs))):
+    for nm, o in zip(("x", "y", "z"), coord_offs):
         lines.append(
             f'        <DataArray type="Float64" Name="{nm}" '
-            f'NumberOfComponents="1" format="appended" offset="{offsets[i]}"/>'
+            f'NumberOfComponents="1" format="appended" offset="{o}"/>'
         )
     lines.append("      </Coordinates>")
     lines.append("      <CellData>")
-    for (name, ncomp, vtype), o in zip(arrays, offsets[3:]):
+    for name, ncomp, vtype, o in arrays:
         lines.append(
             f'        <DataArray type="{vtype}" Name="{name}" '
             f'NumberOfComponents="{ncomp}" format="appended" offset="{o}"/>'
@@ -100,17 +120,8 @@ def write_vtr(
         "      </CellData>",
         "    </Piece>",
         "  </RectilinearGrid>",
-        '  <AppendedData encoding="raw">',
     ]
-    header = "\n".join(lines) + "\n_"
-    footer = "\n  </AppendedData>\n</VTKFile>\n"
-
-    with open(path, "wb") as fh:
-        fh.write(header.encode())
-        for b in blobs:
-            fh.write(b)
-        fh.write(footer.encode())
-    return path
+    return _write_vtk_file(path, lines, blk)
 
 
 def write_vti(
@@ -126,16 +137,13 @@ def write_vti(
     if not path.endswith(".vti"):
         path = path + ".vti"
 
-    blobs, arrays = [], []
-    off = 0
+    blk = _AppendedBlock()
+    arrays = []
     for name, arr in cell_data.items():
         arr = np.asarray(arr)
         ncomp = arr.shape[0] if arr.ndim == 3 else 1
         flat = _flatten_cellwise(arr)
-        raw = np.ascontiguousarray(flat).tobytes()
-        blobs.append(struct.pack("<I", len(raw)) + raw)
-        arrays.append((name, ncomp, _VTK_TYPES[flat.dtype], off))
-        off += 4 + len(raw)
+        arrays.append((name, ncomp, _VTK_TYPES[flat.dtype], blk.append(flat)))
 
     extent = f"0 {nx} 0 {ny} 0 0"
     lines = [
@@ -157,14 +165,8 @@ def write_vti(
         "      </CellData>",
         "    </Piece>",
         "  </ImageData>",
-        '  <AppendedData encoding="raw">',
     ]
-    with open(path, "wb") as fh:
-        fh.write(("\n".join(lines) + "\n_").encode())
-        for b in blobs:
-            fh.write(b)
-        fh.write("\n  </AppendedData>\n</VTKFile>\n".encode())
-    return path
+    return _write_vtk_file(path, lines, blk)
 
 
 def write_vtp_points(
@@ -185,21 +187,13 @@ def write_vtp_points(
     if not path.endswith(".vtp"):
         path = path + ".vtp"
 
-    blobs, offsets = [], {}
-    off = 0
-    def append(key, a):
-        nonlocal off
-        raw = np.ascontiguousarray(a).tobytes()
-        blobs.append(struct.pack("<I", len(raw)) + raw)
-        offsets[key] = off
-        off += 4 + len(raw)
-
-    append("points", pts)
+    blk = _AppendedBlock()
+    offsets = {"points": blk.append(pts)}
     names = []
     for name, arr in point_data.items():
         arr = np.asarray(arr)
         names.append((name, _VTK_TYPES[arr.dtype]))
-        append(name, arr)
+        offsets[name] = blk.append(arr)
 
     lines = [
         '<?xml version="1.0"?>',
@@ -224,14 +218,8 @@ def write_vtp_points(
         "      </PointData>",
         "    </Piece>",
         "  </PolyData>",
-        '  <AppendedData encoding="raw">',
     ]
-    with open(path, "wb") as fh:
-        fh.write(("\n".join(lines) + "\n_").encode())
-        for b in blobs:
-            fh.write(b)
-        fh.write("\n  </AppendedData>\n</VTKFile>\n".encode())
-    return path
+    return _write_vtk_file(path, lines, blk)
 
 
 def save_to_vtk(
