@@ -16,7 +16,7 @@ import numpy as np
 
 from .. import engine
 from ..config import SimConfig
-from ..validate import compare_to_ghia, find_vortex_centers
+from ..validate import compare_to_ghia
 from ..validate.ghia_data import has_reynolds
 from .models import PRESETS, make_model
 from .scaling import MaxScaler, MinMaxScaler
@@ -133,21 +133,15 @@ def comparison_figure(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    from ..viz import streamline_panel
+
     nx, ny = cfg.nx, cfg.ny
     fig, axes = plt.subplots(2, 2, figsize=(12, 10))
 
     for ax, u, title in ((axes[0, 0], u_lbm, "LBM"),
                          (axes[0, 1], u_cnn, "CNN")):
-        xg = np.arange(nx) / (nx - 1)
-        yg = np.arange(ny) / (ny - 1)
-        uxd, uyd = u[0, :, ::-1].T, u[1, :, ::-1].T
-        speed = np.sqrt(uxd**2 + uyd**2)
-        ax.streamplot(xg, yg, uxd, uyd, color=speed, cmap="viridis",
-                      density=1.3, linewidth=0.8)
-        for cx_, cy_ in find_vortex_centers(u, n_vortices=4):
-            ax.plot(cx_, cy_, "r+", ms=12, mew=2)
-        ax.set_title(f"{title} streamlines, Re={cfg.reynolds:g}")
-        ax.set_aspect("equal")
+        streamline_panel(ax, u, density=1.3,
+                         title=f"{title} streamlines, Re={cfg.reynolds:g}")
 
     y = 1.0 - np.arange(ny) / (ny - 1)
     axes[1, 0].plot(u_lbm[0, nx // 2, :] / cfg.u_lid, y, label="LBM")

@@ -18,6 +18,31 @@ from .validate import compare_to_ghia, find_vortex_centers
 from .validate.ghia_data import has_reynolds
 
 
+def streamline_panel(ax, u: np.ndarray, n_vortices: int = 4,
+                     density: float = 1.4, title: Optional[str] = None):
+    """Streamlines + detected vortex centers on the [0, 1]² bottom-up frame.
+
+    The one definition of the display transform (flip to bottom-up,
+    transpose to (y, x)) — shared by the run dashboard and the ML
+    comparison figure (``ml/predict.comparison_figure``)."""
+    u = np.asarray(u)
+    nx, ny = u.shape[1], u.shape[2]
+    xg = np.arange(nx) / (nx - 1)
+    yg = np.arange(ny) / (ny - 1)
+    ux_disp = u[0, :, ::-1].T
+    uy_disp = u[1, :, ::-1].T
+    speed = np.sqrt(ux_disp**2 + uy_disp**2)
+    ax.streamplot(xg, yg, ux_disp, uy_disp, color=speed, cmap="viridis",
+                  density=density, linewidth=0.8)
+    for cx_, cy_ in find_vortex_centers(u, n_vortices=n_vortices):
+        ax.plot(cx_, cy_, "r+", ms=12, mew=2)
+    if title is not None:
+        ax.set_title(title)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.set_aspect("equal")
+
+
 def dashboard(
     cfg: SimConfig,
     rho: np.ndarray,
@@ -72,20 +97,7 @@ def dashboard(
     ax_uy.grid(alpha=0.3)
 
     # Panel 3: streamlines + vortex centers (reference: MRT.py:546-558).
-    # Flip to bottom-up for display; transpose to (y, x) for streamplot.
-    ux_disp = u[0, :, ::-1].T
-    uy_disp = u[1, :, ::-1].T
-    xg = np.arange(nx) / (nx - 1)
-    yg = np.arange(ny) / (ny - 1)
-    speed = np.sqrt(ux_disp**2 + uy_disp**2)
-    ax_stream.streamplot(xg, yg, ux_disp, uy_disp, color=speed,
-                         cmap="viridis", density=1.4, linewidth=0.8)
-    for cx_, cy_ in find_vortex_centers(u, n_vortices=4):
-        ax_stream.plot(cx_, cy_, "r+", ms=12, mew=2)
-    ax_stream.set_title(f"streamlines, step {step}")
-    ax_stream.set_xlim(0, 1)
-    ax_stream.set_ylim(0, 1)
-    ax_stream.set_aspect("equal")
+    streamline_panel(ax_stream, u, title=f"streamlines, step {step}")
 
     # Panel 4: R² history + parameter block (reference: MRT.py:570-601).
     if r2_history:
