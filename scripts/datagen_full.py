@@ -47,6 +47,10 @@ def main() -> int:
     ap.add_argument("--re-stop", type=float, default=5100.0)
     ap.add_argument("--re-step", type=float, default=10.0)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--assemble-partial", action="store_true",
+                    help="skip generation and assemble the 4-file layout "
+                         "from whatever chunks exist (subset of Re values); "
+                         "for bounded sweeps cut off by a time budget")
     args = ap.parse_args()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -100,8 +104,20 @@ def main() -> int:
     def progress(msg):
         print(f"[{time.time() - t_start:8.1f}s] {msg}", flush=True)
 
-    if len(remaining):
-        datagen.generate_dataset(cfg, remaining, batch_size=args.n_cav,
+    # Batches are consecutive Re groups (similar convergence times, so a
+    # batch's slowest member wastes little of the others' work), but the
+    # batches themselves run in bit-reversed order: a sweep cut off by a
+    # time budget then covers the WHOLE Re range at reduced density instead
+    # of only the low end, and --assemble-partial can build a usable
+    # training set from it.
+    if len(remaining) and not args.assemble_partial:
+        bs = args.n_cav
+        batches = [remaining[i:i + bs] for i in range(0, len(remaining), bs)]
+        nbits = max(1, (len(batches) - 1).bit_length())
+        order = sorted(range(len(batches)),
+                       key=lambda i: int(f"{i:0{nbits}b}"[::-1], 2))
+        reordered = np.concatenate([batches[i] for i in order])
+        datagen.generate_dataset(cfg, reordered, batch_size=bs,
                                  progress=progress, on_batch=on_batch)
 
     # Assemble the reference 4-file layout from the chunks.
@@ -124,7 +140,13 @@ def main() -> int:
                 "failed": int(np.sum(fail)), "of": b,
             })
     missing = [r for r in re_all if float(r) not in chunks]
-    if missing:
+    if missing and args.assemble_partial:
+        re_all = np.asarray([r for r in re_all if float(r) in chunks])
+        print(f"partial assembly: {len(re_all)} of "
+              f"{len(re_all) + len(missing)} Re values", flush=True)
+        if len(re_all) == 0:
+            return 1
+    elif missing:
         print(f"STILL MISSING {len(missing)} Re values: {missing[:5]}...",
               file=sys.stderr)
         return 1

@@ -139,6 +139,15 @@ def main() -> int:
               "or failed (r3 relay-kill guard)", flush=True)
         return 0
     for k in (16, 24):
+        if k == 24 and os.environ.get("KPROBE_SKIP_4096_K24"):
+            # The exact compile that killed the r3 relay.  When the driver's
+            # round-end bench depends on a live relay, the K=24@4096² cell is
+            # not worth the risk: record the documented ceiling instead.
+            record({"n": 4096, "k": 24, "skipped": True,
+                    "reason": "KPROBE_SKIP_4096_K24: the K=24@4096² Mosaic "
+                              "compile killed the r3 relay after ~25 min; "
+                              "documented compile-cost ceiling, not measured"})
+            continue
         rec = run_child(4096, k)
         record(rec)
         if rec.get("fatal"):

@@ -92,23 +92,26 @@ def main() -> int:
         tr.save_weights(res, out_dir, scalers=data.scalers)
         tr.plot_history(res.history,
                         os.path.join(out_dir, f"{name}_x_loss.png"))
-        fnet, aux = predict.build_input(name, EVAL_RE, eval_ds.feq_initial,
+        # Partial datasets (budget-cut sweeps assembled with
+        # --assemble-partial) may lack Re=5000 exactly, and a quarantined
+        # (zero-filled) slot must never be the "truth" (rel_l2 would divide
+        # by ||0||): evaluate at the nearest non-quarantined Re.
+        ok = (np.ones(len(eval_ds.re_range), bool) if eval_ds.failed is None
+              else ~eval_ds.failed)
+        cand = np.where(ok)[0]
+        i = int(cand[np.argmin(np.abs(eval_ds.re_range[cand] - EVAL_RE))])
+        eval_re = float(eval_ds.re_range[i])
+        fnet, aux = predict.build_input(name, eval_re, eval_ds.feq_initial,
                                         data.scalers, u_lid=u_lid)
         u_cnn = predict.predict_velocity(name, res.params, res.params,
                                          fnet, aux, data.scalers)
-        i = int(np.argwhere(eval_ds.re_range == EVAL_RE)[0, 0])
-        if eval_ds.failed is not None and eval_ds.failed[i]:
-            # never score against a quarantined (zero-filled) "truth" —
-            # rel_l2 would divide by ||0||
-            raise RuntimeError(
-                f"eval Re={EVAL_RE:g} is quarantined in this dataset; "
-                "pick another EVAL_RE")
         u_true = eval_ds.u_final[i]
         h = res.history
         rec = {
             "epochs": epochs, "grid": data.fnet.shape[1],
             "first_loss": h["loss"][0], "final_loss": h["loss"][-1],
             "final_val_mse": h["val_loss"][-1],
+            "eval_re": eval_re,
             "r2_ux_re5000": round(full_field_r2(u_true[0], u_cnn[0]), 5),
             "rel_l2_ux_re5000": round(
                 float(np.linalg.norm(u_cnn[0] - u_true[0])
