@@ -28,13 +28,34 @@ remaining() { echo $(( DEADLINE - $(date +%s) )); }
 
 say "phase 3 start; $(remaining)s to deadline"
 
-# 1. Early bench capture (also the chip liveness check).
-if [ "$(remaining)" -ge 3000 ]; then
+# 1. Early bench capture (also the chip liveness check).  Idempotent: a
+#    restart of the chain skips stages whose artifact already landed.
+if [ ! -f docs/artifacts/bench_r4_early.json ] && [ "$(remaining)" -ge 3000 ]; then
   say "RUN bench"
   timeout -k 30 2400 python bench.py \
       > "$LOGDIR/bench_early.json" 2>"$LOGDIR/bench_early.err"
   rc=$?; say "DONE bench rc=$rc: $(tail -c 300 "$LOGDIR/bench_early.json")"
   [ "$rc" -eq 0 ] && cp "$LOGDIR/bench_early.json" docs/artifacts/bench_r4_early.json
+fi
+
+# 1b. SRT collision-cost probe — the one empirical check RESULTS.md's
+#     speed-of-light section left open (SRT ≈ MRT at 1024² would confirm
+#     the kernel is streaming/gather-bound, not collision-bound).
+if [ ! -f docs/artifacts/bench_r4_srt.json ] && [ "$(remaining)" -ge 3000 ]; then
+  say "RUN bench-srt"
+  LBM_BENCH_COLLISION=srt LBM_BENCH_CHUNKS=2 timeout -k 30 1800 python bench.py \
+      > "$LOGDIR/bench_srt.json" 2>"$LOGDIR/bench_srt.err"
+  rc=$?; say "DONE bench-srt rc=$rc: $(tail -c 300 "$LOGDIR/bench_srt.json")"
+  [ "$rc" -eq 0 ] && cp "$LOGDIR/bench_srt.json" docs/artifacts/bench_r4_srt.json
+fi
+
+# 1c. Compiled-path bit-equality of all sharded backends incl. the r4
+#     flag-gated RDMA halo — first real-TPU exercise of that path.
+if [ "$(remaining)" -ge 3600 ]; then
+  say "RUN sharded-check"
+  timeout -k 30 2700 python scripts/check_sharded_tpu.py \
+      > "$LOGDIR/sharded.log" 2>&1
+  say "DONE sharded-check rc=$? : $(tail -n 2 "$LOGDIR/sharded.log" | tr '\n' ' ')"
 fi
 
 # 2. Flagship Ghia validation re-measure (post precision fixes).
