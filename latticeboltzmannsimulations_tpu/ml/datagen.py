@@ -359,6 +359,24 @@ def generate_dataset(
     )
 
 
+def bit_reversed_batches(values: np.ndarray, batch_size: int) -> np.ndarray:
+    """Reorder ``values`` so consecutive-value batches run in bit-reversed
+    index order.
+
+    Batches keep consecutive Re values (similar convergence times, so a
+    batch's slowest member wastes little of the others' work), but the batch
+    *sequence* is bit-reversed: any prefix of the reordered sweep covers the
+    whole Re range at roughly uniform density, so a sweep cut off by a time
+    budget still yields a usable training set (assembled with
+    ``datagen_full.py --assemble-partial``)."""
+    batches = [values[i:i + batch_size]
+               for i in range(0, len(values), batch_size)]
+    nbits = max(1, (len(batches) - 1).bit_length())
+    order = sorted(range(len(batches)),
+                   key=lambda i: int(f"{i:0{nbits}b}"[::-1], 2))
+    return np.concatenate([batches[i] for i in order])
+
+
 def save_dataset(ds: DatasetArrays, out_dir: str) -> None:
     """Same four-file .npy layout as the reference
     (reference: ``MRT_GPU_datagen.py:899-902``), plus ``failed.npy`` — the

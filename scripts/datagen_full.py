@@ -111,13 +111,8 @@ def main() -> int:
     # of only the low end, and --assemble-partial can build a usable
     # training set from it.
     if len(remaining) and not args.assemble_partial:
-        bs = args.n_cav
-        batches = [remaining[i:i + bs] for i in range(0, len(remaining), bs)]
-        nbits = max(1, (len(batches) - 1).bit_length())
-        order = sorted(range(len(batches)),
-                       key=lambda i: int(f"{i:0{nbits}b}"[::-1], 2))
-        reordered = np.concatenate([batches[i] for i in order])
-        datagen.generate_dataset(cfg, reordered, batch_size=bs,
+        reordered = datagen.bit_reversed_batches(remaining, args.n_cav)
+        datagen.generate_dataset(cfg, reordered, batch_size=args.n_cav,
                                  progress=progress, on_batch=on_batch)
 
     # Assemble the reference 4-file layout from the chunks.
