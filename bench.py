@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 import traceback
@@ -26,22 +25,13 @@ def _force(x) -> float:
 
 
 def _tpu_backend_alive(timeout_s: float = 240.0) -> bool:
-    """Probe the TPU backend in a SUBPROCESS with a hard timeout.
+    """Probe the TPU backend in a killable SUBPROCESS (a dead axon relay
+    hangs backend init rather than raising — BENCH_r03 failure mode).
+    Shared hardened implementation: ``relay_probe.backend_answers``."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import relay_probe
 
-    On a dead axon relay, backend init *hangs* (it does not raise), so the
-    probe must be killable from outside — touching jax in this process
-    would wedge the whole benchmark until the driver's kill timeout
-    (BENCH_r03 failure mode).
-    """
-    code = ("import jax, jax.numpy as jnp, numpy as np; "
-            "x = jnp.ones((8, 8)); "
-            "print(float(np.asarray((x @ x)[0, 0])))")
-    try:
-        proc = subprocess.run([sys.executable, "-c", code],
-                              capture_output=True, timeout=timeout_s)
-        return proc.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    return relay_probe.backend_answers(timeout_s)
 
 
 def _reexec_on_cpu() -> None:

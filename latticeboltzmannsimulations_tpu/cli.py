@@ -72,6 +72,30 @@ def dataclass_dict(obj) -> dict:
             for k, v in dataclasses.asdict(obj).items()}
 
 
+def _parse_mesh(spec: str | None):
+    """``MxN`` -> a 1-axis ``("batch",)`` data-parallel Mesh over M*N
+    devices, or None for the 1x1 single-chip default.  Raises rather than
+    silently building a smaller mesh when the machine has fewer devices
+    (matching sim._select_backend's no-silent-degradation rule)."""
+    if not spec:
+        return None
+    n_dev = 1
+    for v in spec.lower().split("x"):
+        n_dev *= int(v)
+    if n_dev <= 1:
+        return None
+    import jax
+    from jax.sharding import Mesh
+
+    avail = jax.devices()
+    if len(avail) < n_dev:
+        raise SystemExit(
+            f"--mesh {spec} needs {n_dev} devices but only {len(avail)} "
+            "are visible; a smaller mesh would silently drop the requested "
+            "parallelism")
+    return Mesh(np.asarray(avail[:n_dev]), ("batch",))
+
+
 def cmd_datagen(args) -> int:
     from .config import SimConfig
     from .ml import generate_dataset, save_dataset
@@ -84,16 +108,7 @@ def cmd_datagen(args) -> int:
     ).validate()
     re_values = np.arange(args.re_start, args.re_stop, args.re_step,
                           dtype=np.float64)
-    mesh = None
-    if args.mesh:
-        import jax
-        from jax.sharding import Mesh
-
-        n_dev = 1
-        for v in args.mesh.lower().split("x"):
-            n_dev *= int(v)
-        if n_dev > 1:  # 1x1 = the single-chip default, no sharding
-            mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("batch",))
+    mesh = _parse_mesh(args.mesh)
     ds = generate_dataset(cfg, re_values, batch_size=args.batch,
                           progress=print, mesh=mesh)
     save_dataset(ds, args.out)
@@ -107,16 +122,7 @@ def cmd_train(args) -> int:
 
     ds = load_dataset(args.data)
     data = ml_train.prepare_inputs(ds, PRESETS[args.preset])
-    mesh = None
-    if getattr(args, "mesh", None):
-        import jax
-        from jax.sharding import Mesh
-
-        n_dev = 1
-        for v in args.mesh.lower().split("x"):
-            n_dev *= int(v)
-        if n_dev > 1:
-            mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("batch",))
+    mesh = _parse_mesh(getattr(args, "mesh", None))
     for comp in args.components.split(","):
         res = ml_train.train(
             args.preset, data, component=comp,

@@ -368,13 +368,22 @@ def bit_reversed_batches(values: np.ndarray, batch_size: int) -> np.ndarray:
     *sequence* is bit-reversed: any prefix of the reordered sweep covers the
     whole Re range at roughly uniform density, so a sweep cut off by a time
     budget still yields a usable training set (assembled with
-    ``datagen_full.py --assemble-partial``)."""
+    ``datagen_full.py --assemble-partial``).
+
+    The consumer (``generate_dataset``) re-slices the flat result into
+    aligned ``batch_size`` groups, so any short final batch must stay LAST:
+    placing it mid-sequence would shift every later slice boundary and mix
+    Re values thousands apart in one vmapped batch (which then runs until
+    its slowest member converges)."""
     batches = [values[i:i + batch_size]
                for i in range(0, len(values), batch_size)]
+    tail = []
+    if len(batches) > 1 and len(batches[-1]) != batch_size:
+        tail = [batches.pop()]
     nbits = max(1, (len(batches) - 1).bit_length())
     order = sorted(range(len(batches)),
                    key=lambda i: int(f"{i:0{nbits}b}"[::-1], 2))
-    return np.concatenate([batches[i] for i in order])
+    return np.concatenate([batches[i] for i in order] + tail)
 
 
 def save_dataset(ds: DatasetArrays, out_dir: str) -> None:

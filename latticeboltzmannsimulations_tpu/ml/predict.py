@@ -17,6 +17,7 @@ import numpy as np
 from .. import engine
 from ..config import SimConfig
 from ..validate import compare_to_ghia
+from ..validate.ghia import centerline_profiles
 from ..validate.ghia_data import has_reynolds
 from .models import PRESETS, make_model
 from .scaling import MaxScaler, MinMaxScaler
@@ -135,7 +136,6 @@ def comparison_figure(
 
     from ..viz import streamline_panel
 
-    nx, ny = cfg.nx, cfg.ny
     fig, axes = plt.subplots(2, 2, figsize=(12, 10))
 
     for ax, u, title in ((axes[0, 0], u_lbm, "LBM"),
@@ -143,12 +143,14 @@ def comparison_figure(
         streamline_panel(ax, u, density=1.3,
                          title=f"{title} streamlines, Re={cfg.reynolds:g}")
 
-    y = 1.0 - np.arange(ny) / (ny - 1)
-    axes[1, 0].plot(u_lbm[0, nx // 2, :] / cfg.u_lid, y, label="LBM")
-    axes[1, 0].plot(u_cnn[0, nx // 2, :] / cfg.u_lid, y, "--", label="CNN")
-    x = np.arange(nx) / (nx - 1)
-    axes[1, 1].plot(x, u_lbm[1, :, ny // 2] / cfg.u_lid, label="LBM")
-    axes[1, 1].plot(x, u_cnn[1, :, ny // 2] / cfg.u_lid, "--", label="CNN")
+    # Same center-column averaging as the R²/L2 gates (even grids have no
+    # node on the centerline — validate/ghia.centerline_profiles).
+    (y_l, ux_l), (x_l, uy_l) = centerline_profiles(u_lbm, cfg.u_lid)
+    (y_c, ux_c), (x_c, uy_c) = centerline_profiles(u_cnn, cfg.u_lid)
+    axes[1, 0].plot(ux_l, y_l, label="LBM")
+    axes[1, 0].plot(ux_c, y_c, "--", label="CNN")
+    axes[1, 1].plot(x_l, uy_l, label="LBM")
+    axes[1, 1].plot(x_c, uy_c, "--", label="CNN")
 
     metrics = {}
     if has_reynolds(cfg.reynolds):

@@ -258,11 +258,22 @@ def train(
     # of the fingerprint only for schedules shaped by it (cosine/plateau);
     # constant and inverse-time lr are budget-independent, so a killed
     # 600-epoch leg may legitimately resume under any larger budget.
+    # Dataset identity belongs in the fingerprint too: a checkpoint written
+    # against one dataset must never resume against another (e.g. a partial
+    # --assemble-partial training set later replaced by the full sweep —
+    # same recipe, but different n, shuffle universe and epoch accounting).
+    # Sample count + grid shape + a strided center-pixel checksum is cheap
+    # and catches both size and content changes.
+    _g = data.fnet.shape[1] // 2
+    _sig = np.asarray(
+        data.fnet[:: max(1, len(data.fnet) // 8), _g, _g, :], np.float64)
     recipe = {"preset": preset_name, "component": component,
               "batch_size": batch_size, "lr": learning_rate, "seed": seed,
               "optimizer": preset.optimizer, "schedule": schedule,
               "clip_norm": clip_norm,
-              "epochs": epochs if schedule in ("cosine", "plateau") else None}
+              "epochs": epochs if schedule in ("cosine", "plateau") else None,
+              "data_n": int(len(x)), "data_shape": list(data.fnet.shape),
+              "data_sig": float(np.abs(_sig).sum())}
 
     start_epoch = 0
     if checkpoint_path and os.path.exists(checkpoint_path):

@@ -15,6 +15,7 @@ import numpy as np
 
 from .config import SimConfig
 from .validate import compare_to_ghia, find_vortex_centers
+from .validate.ghia import centerline_profiles
 from .validate.ghia_data import has_reynolds
 
 
@@ -62,7 +63,6 @@ def dashboard(
 
     rho = np.asarray(rho)
     u = np.asarray(u)
-    nx, ny = cfg.nx, cfg.ny
     ghia = compare_to_ghia(u, cfg.u_lid, cfg.reynolds) if has_reynolds(
         cfg.reynolds
     ) else None
@@ -71,8 +71,11 @@ def dashboard(
     (ax_ux, ax_uy), (ax_stream, ax_r2) = axes
 
     # Panel 1: Ux on the mid-column vs Ghia (reference: MRT.py:534-538).
-    y = 1.0 - np.arange(ny) / (ny - 1)
-    ax_ux.plot(u[0, nx // 2, :] / cfg.u_lid, y, "-", lw=1.5, label="LBM")
+    # centerline_profiles averages the two center columns on even grids
+    # (node n//2 sits half a cell off x=0.5) — the same sampling the R²/L2
+    # gates use, so the plotted profile is the scored one.
+    (y, ux_c), (x_c, uy_c) = centerline_profiles(u, cfg.u_lid)
+    ax_ux.plot(ux_c, y, "-", lw=1.5, label="LBM")
     if ghia is not None:
         ax_ux.plot(ghia.ux_ghia, ghia.y_stations, "ko", ms=4, label="Ghia 1982")
         ax_ux.set_title(f"Ux mid-column  R²={ghia.r2_ux:.4f}")
@@ -84,8 +87,7 @@ def dashboard(
     ax_ux.grid(alpha=0.3)
 
     # Panel 2: Uy on the mid-row vs Ghia (reference: MRT.py:539-545).
-    x = np.arange(nx) / (nx - 1)
-    ax_uy.plot(x, u[1, :, ny // 2] / cfg.u_lid, "-", lw=1.5, label="LBM")
+    ax_uy.plot(x_c, uy_c, "-", lw=1.5, label="LBM")
     if ghia is not None:
         ax_uy.plot(ghia.x_stations, ghia.uy_ghia, "ko", ms=4, label="Ghia 1982")
         ax_uy.set_title(f"Uy mid-row  R²={ghia.r2_uy:.4f}")

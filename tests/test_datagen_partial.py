@@ -23,17 +23,14 @@ def test_bit_reversed_batches_is_a_permutation():
     out = datagen.bit_reversed_batches(vals, 7)
     assert len(out) == len(vals)
     assert set(out.tolist()) == set(vals.tolist())
-    # batches stay consecutive runs (the final short batch of 500 % 7 = 3
-    # values shifts later alignment, so walk run-by-run instead of by
-    # aligned 7-groups)
-    i = 0
-    while i < len(out):
-        w = 7
-        while w > 1 and (i + w > len(out)
-                         or not np.allclose(np.diff(out[i:i + w]), 10.0)):
-            w -= 1
-        assert w in (7, 3), (i, out[i:i + 7])
-        i += w
+    # the consumer re-slices into ALIGNED 7-groups: every aligned group
+    # must be a consecutive Re run (the short 500 % 7 = 3 batch must be
+    # last, or it would shift every later slice boundary and mix Re values
+    # thousands apart in one vmapped batch)
+    for i in range(0, len(out), 7):
+        grp = out[i:i + 7]
+        assert np.allclose(np.diff(grp), 10.0), (i, grp)
+    assert len(out) % 7 == 3 and np.allclose(out[-3:], vals[-3:])
 
 
 def test_bit_reversed_prefix_covers_range():

@@ -56,19 +56,17 @@ def test_dryrun_multichip_survives_dead_backend(monkeypatch, capsys):
 def test_entry_pins_cpu_when_relay_dead(monkeypatch, capsys):
     """entry() on a dead relay must pin the process to CPU (so the driver's
     jit compile-check completes) instead of hanging in backend init."""
-    import subprocess
-
     sys.path.insert(0, ".")
     import __graft_entry__ as g
+    import relay_probe
 
     monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
     monkeypatch.setattr(g, "_cpu_platform_selected", lambda: False)
     monkeypatch.setattr(g, "_backend_already_initialized", lambda: False)
-
-    def _probe_times_out(cmd, **kw):
-        raise subprocess.TimeoutExpired(cmd, kw.get("timeout", 0))
-
-    monkeypatch.setattr(g.subprocess, "run", _probe_times_out)
+    # dead relay = the killable probe reports no answer (its internal
+    # timeout/unkillable-child handling is relay_probe's own concern)
+    monkeypatch.setattr(relay_probe, "backend_answers",
+                        lambda timeout_s=240: False)
     fn, args = g.entry()
     # under conftest the platform was already cpu; the guard must have
     # (re-)pinned it rather than hung, and the step must still run
@@ -76,6 +74,28 @@ def test_entry_pins_cpu_when_relay_dead(monkeypatch, capsys):
     out_f, _ = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out_f)))
     assert "relay did not answer" in capsys.readouterr().err
+
+
+def test_relay_probe_kills_hung_child(monkeypatch):
+    """A wedged backend-init child must be killed and reported dead, not
+    waited on forever (the subprocess.run untimed-wait wedge)."""
+    import time
+
+    sys.path.insert(0, ".")
+    import relay_probe
+
+    monkeypatch.setattr(relay_probe, "_PROBE", "import time; time.sleep(999)")
+    t0 = time.monotonic()
+    assert relay_probe.backend_answers(timeout_s=1.5) is False
+    assert time.monotonic() - t0 < 30
+
+
+def test_relay_probe_answers_for_healthy_child(monkeypatch):
+    sys.path.insert(0, ".")
+    import relay_probe
+
+    monkeypatch.setattr(relay_probe, "_PROBE", "print('ok')")
+    assert relay_probe.backend_answers(timeout_s=60) is True
 
 
 def test_cpu_platform_selected_true_under_conftest():
