@@ -31,6 +31,7 @@ scheme's one-step memory; reference pre-collision trick:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable
 
 import jax
@@ -127,6 +128,47 @@ def _lane_roll(plane: jnp.ndarray, shift: int, interpret: bool) -> jnp.ndarray:
     return pltpu.roll(plane, shift=shift % plane.shape[1], axis=1)
 
 
+def _grouped_rolls(planes: list, shifts: list, axis: int, interpret: bool):
+    """Roll each 2-D plane by its own shift along ``axis``, issuing ONE wide
+    ``pltpu.roll`` per distinct non-zero shift: planes sharing a shift are
+    concatenated along the *other* axis, rolled together, and split back.
+
+    Exactly the same values as per-plane rolls (bit-identity preserved —
+    the roll axis never crosses the concatenated seams), but measured ~6%
+    faster at 1024² because roll cost on the VPU is per-op-dominated, not
+    per-byte (RESULTS.md "gather schedule").  Split offsets stay aligned:
+    concatenating along sublanes keeps 8-multiple offsets, along lanes
+    128-multiple offsets, because every plane dimension in these kernels is
+    itself tile-aligned.
+    """
+    out = [None] * len(planes)
+    cat_axis = 1 - axis
+
+    def _roll(p, s):
+        if interpret:
+            return jnp.roll(p, s, axis=axis)
+        return pltpu.roll(p, shift=s % p.shape[axis], axis=axis)
+
+    for s in sorted(set(shifts)):
+        idx = [i for i, sh in enumerate(shifts) if sh == s]
+        if s == 0:
+            for i in idx:
+                out[i] = planes[i]
+        elif len(idx) == 1:
+            out[idx[0]] = _roll(planes[idx[0]], s)
+        else:
+            sizes = [planes[i].shape[cat_axis] for i in idx]
+            wide = _roll(jnp.concatenate([planes[i] for i in idx],
+                                         axis=cat_axis), s)
+            off = 0
+            for i, sz in zip(idx, sizes):
+                sl = [slice(None), slice(None)]
+                sl[cat_axis] = slice(off, off + sz)
+                out[i] = wide[tuple(sl)]
+                off += sz
+    return out
+
+
 def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
                  n_buf: int = 2, traced_omega: bool = False,
                  n_cav: int = 1, van_driest: bool = False):
@@ -142,6 +184,16 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
     u_lid = cfg.u_lid
     n_tiles = nx_total // tile_x
     tiles_per_cav = nx // tile_x
+    # Grouped y-gather is the measured default on the compiled path (+6%
+    # @1024²; see RESULTS.md "gather schedule"); LBM_GATHER_GROUPED=0
+    # restores per-plane rolls.  Interpret mode ALWAYS rolls per-plane: the
+    # grouping is a Mosaic op-scheduling optimization, and on XLA:CPU the
+    # reshaped producers shift FMA contraction enough to break the ulp-exact
+    # engine pin the CPU tests assert (same class of difference as the
+    # pallas_push interpret note); _grouped_rolls itself is value-pinned by
+    # a direct unit test.
+    grouped_gather = (not interpret
+                      and os.environ.get("LBM_GATHER_GROUPED", "1") == "1")
 
     def kernel(*refs):
         refs = list(refs)
@@ -205,12 +257,19 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
         # --- pull gather: g_k(x, y) = f_k(x - cx, y + cy) ------------------
         # x via static slices of the staged halo window; y via a lane roll
         # whose wrap values only land in lid/bottom-rewritten populations.
-        gs = []
-        for k in range(lattice.Q):
-            cx = int(lattice.CX[k])
-            cy = int(lattice.CY[k])
-            p = scratch[slot, k, 16 - cx : 16 - cx + tile_x, :]
-            gs.append(_lane_roll(p, -cy, interpret))
+        planes = [scratch[slot, k,
+                          16 - int(lattice.CX[k]):
+                          16 - int(lattice.CX[k]) + tile_x, :]
+                  for k in range(lattice.Q)]
+        shifts = [-int(lattice.CY[k]) for k in range(lattice.Q)]
+        if grouped_gather:
+            # Grouped schedule (default): one 3x-wide lane roll per y
+            # direction (2 rolls instead of 6) — same values, bit-identical;
+            # measured +6% @1024² on chip (see _grouped_rolls).
+            gs = _grouped_rolls(planes, shifts, axis=1, interpret=interpret)
+        else:
+            gs = [_lane_roll(p, s, interpret)
+                  for p, s in zip(planes, shifts)]
 
         # --- reduced NEBB wall rewrite (engine._fused_gather_bc) ----------
         # Branch-free where-selects on the individual planes (a scatter-free

@@ -36,6 +36,7 @@ the same global grid (asserted by tests on a CPU mesh in interpret mode).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +48,8 @@ from .. import lattice
 from ..config import SimConfig
 from ..engine import State, _collide
 from ..ops.equilibrium import equilibrium, lid_row_density, macroscopics
-from .pallas_pull import _compiler_params, _lane_roll, pick_tile_x
+from .pallas_pull import (_compiler_params, _grouped_rolls, _lane_roll,
+                          pick_tile_x)
 
 # Shared with the ppermute halo engine: the State sharding specs and the
 # periodic ring permutation MUST stay identical across backends (the
@@ -94,6 +96,9 @@ def _make_local_kernel(cfg: SimConfig, lx: int, ly: int, tile_x: int,
     """
     u_lid = cfg.u_lid
     n_tiles = lx // tile_x
+    # Compiled path only — interpret keeps per-plane rolls (see pallas_pull).
+    grouped_gather = (not interpret
+                      and os.environ.get("LBM_GATHER_GROUPED", "1") == "1")
 
     def kernel(*refs):
         refs = list(refs)
@@ -138,12 +143,16 @@ def _make_local_kernel(cfg: SimConfig, lx: int, ly: int, tile_x: int,
         # x via static slices of the staged window; y via a lane roll (halo
         # lanes absorb the roll wrap when carried; with y0 == 0 the wrap
         # values only land in wall-rewritten populations, single-chip style).
-        gs = []
-        for k in range(lattice.Q):
-            cx = int(lattice.CX[k])
-            cy = int(lattice.CY[k])
-            p = in_scratch[slot, k, 8 - cx : 8 - cx + tile_x, :]
-            gs.append(_lane_roll(p, -cy, interpret))
+        planes = [in_scratch[slot, k,
+                             8 - int(lattice.CX[k]):
+                             8 - int(lattice.CX[k]) + tile_x, :]
+                  for k in range(lattice.Q)]
+        shifts = [-int(lattice.CY[k]) for k in range(lattice.Q)]
+        if grouped_gather:
+            gs = _grouped_rolls(planes, shifts, axis=1, interpret=interpret)
+        else:
+            gs = [_lane_roll(p, s, interpret)
+                  for p, s in zip(planes, shifts)]
 
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_x, py), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (tile_x, py), 1)

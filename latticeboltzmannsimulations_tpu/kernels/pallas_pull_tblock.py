@@ -29,6 +29,7 @@ Correctness bookkeeping (the trapezoid):
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
@@ -40,7 +41,8 @@ from .. import lattice
 from ..config import SimConfig
 from ..engine import State, _collide
 from ..ops.equilibrium import equilibrium, lid_row_density, macroscopics
-from .pallas_pull import VMEM_LIMIT_BYTES, _lane_roll, make_step
+from .pallas_pull import (VMEM_LIMIT_BYTES, _grouped_rolls, _lane_roll,
+                          make_step)
 
 
 def _sublane_roll(plane: jnp.ndarray, shift: int, interpret: bool):
@@ -74,6 +76,9 @@ def _make_kernel(cfg: SimConfig, tile_x: int, k_steps: int, kp: int,
     n_tiles = nx // tile_x
     w = tile_x + 4 * kp          # window width (sublanes)
     c = tile_x + 2 * kp          # columns copied per tile
+    # Compiled path only — interpret keeps per-plane rolls (see pallas_pull).
+    grouped_gather = (not interpret
+                      and os.environ.get("LBM_GATHER_GROUPED", "1") == "1")
 
     def kernel(rho_lid_ref, f_hbm, f_out_ref, rho_lid_out_ref,
                scratch, scratch_l, sem, sem_l):
@@ -113,14 +118,19 @@ def _make_kernel(cfg: SimConfig, tile_x: int, k_steps: int, kp: int,
         fs = [scratch[k, :, :] for k in range(lattice.Q)]
         rho_lid_vec = scratch_l[:, 0]  # (W,)
 
+        x_shifts = [int(lattice.CX[k]) for k in range(lattice.Q)]
+        y_shifts = [-int(lattice.CY[k]) for k in range(lattice.Q)]
         for _s in range(k_steps):
-            # pull gather on the window: sublane roll in x, lane roll in y
-            gs = []
-            for k in range(lattice.Q):
-                cx = int(lattice.CX[k])
-                cy = int(lattice.CY[k])
-                p = _sublane_roll(fs[k], cx, interpret)
-                gs.append(_lane_roll(p, -cy, interpret))
+            # pull gather on the window: sublane roll in x, lane roll in y,
+            # grouped by shift (4 wide rolls instead of 12 narrow — same
+            # values; see pallas_pull._grouped_rolls)
+            if grouped_gather:
+                xs = _grouped_rolls(fs, x_shifts, axis=0, interpret=interpret)
+                gs = _grouped_rolls(xs, y_shifts, axis=1, interpret=interpret)
+            else:
+                gs = [_lane_roll(_sublane_roll(fs[k], x_shifts[k], interpret),
+                                 y_shifts[k], interpret)
+                      for k in range(lattice.Q)]
             # reduced NEBB, fused-engine order
             gs[1] = jnp.where(m_left, gs[3], gs[1])
             gs[5] = jnp.where(m_left, gs[7], gs[5])

@@ -37,6 +37,7 @@ tile-aligned lanes keeps the single-chip lane layout and wrap semantics):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +49,7 @@ from .. import lattice
 from ..config import SimConfig
 from ..engine import State, _collide
 from ..ops.equilibrium import equilibrium, lid_row_density, macroscopics
-from .pallas_pull import VMEM_LIMIT_BYTES, _lane_roll
+from .pallas_pull import VMEM_LIMIT_BYTES, _grouped_rolls, _lane_roll
 from .pallas_pull_sharded import _SPECS_STATE, _shift_strip
 from .pallas_pull_tblock import _sublane_roll, pick_block
 
@@ -59,6 +60,11 @@ def _make_kernel(cfg: SimConfig, lx: int, ly: int, tile_x: int, k_steps: int,
     u_lid = cfg.u_lid
     w = tile_x + 4 * kp  # window width; own cols at offset 2*kp
     halo_lanes = y0 > 0  # y-sharded layout: real lanes at [y0, y0+ly)
+    # Compiled path only — interpret keeps per-plane rolls (see pallas_pull).
+    grouped_gather = (not interpret
+                      and os.environ.get("LBM_GATHER_GROUPED", "1") == "1")
+    x_shifts = [int(lattice.CX[k]) for k in range(lattice.Q)]
+    y_shifts = [-int(lattice.CY[k]) for k in range(lattice.Q)]
 
     def kernel(sc_ref, rho_panel, f_hbm, f_out_ref, rho_out_ref,
                scratch, scratch_l, sem, sem_l):
@@ -114,12 +120,15 @@ def _make_kernel(cfg: SimConfig, lx: int, ly: int, tile_x: int, k_steps: int,
         rho_l = scratch_l[:, 0:1]  # (W, 1) lid-density carry
 
         for _s in range(k_steps):
-            gs = []
-            for k in range(lattice.Q):
-                cx = int(lattice.CX[k])
-                cy = int(lattice.CY[k])
-                p = _sublane_roll(fs[k], cx, interpret)
-                gs.append(_lane_roll(p, -cy, interpret))
+            # Gather grouped by shift (4 wide rolls instead of 12 narrow —
+            # same values; see pallas_pull._grouped_rolls).
+            if grouped_gather:
+                xs = _grouped_rolls(fs, x_shifts, axis=0, interpret=interpret)
+                gs = _grouped_rolls(xs, y_shifts, axis=1, interpret=interpret)
+            else:
+                gs = [_lane_roll(_sublane_roll(fs[k], x_shifts[k], interpret),
+                                 y_shifts[k], interpret)
+                      for k in range(lattice.Q)]
             gs[1] = jnp.where(m_left, gs[3], gs[1])
             gs[5] = jnp.where(m_left, gs[7], gs[5])
             gs[8] = jnp.where(m_left, gs[6], gs[8])

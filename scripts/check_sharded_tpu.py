@@ -33,10 +33,25 @@ def main() -> int:
 
     mesh = make_mesh((1, 1))
     failures = 0
-    for name in ("sharded-pallas", "sharded-tblock", "sharded-tblock-ylanes",
+    for name in ("pallas", "tblock",
+                 "sharded-pallas", "sharded-tblock", "sharded-tblock-ylanes",
                  "sharded-tblock-rdma"):
         t0 = time.perf_counter()
-        if name == "sharded-pallas":
+        if name == "pallas":
+            # Plain single-chip kernels through the compiled Mosaic path —
+            # added with the grouped gather schedule (r4) so the headline
+            # kernel's trajectory pin is also exercised on chip, not only in
+            # interpret mode.
+            from latticeboltzmannsimulations_tpu.kernels import pallas_pull
+
+            runner = pallas_pull.make_scan_runner(cfg, n)
+        elif name == "tblock":
+            from latticeboltzmannsimulations_tpu.kernels import (
+                pallas_pull_tblock,
+            )
+
+            runner = pallas_pull_tblock.make_scan_runner(cfg, n, k_steps=16)
+        elif name == "sharded-pallas":
             from latticeboltzmannsimulations_tpu.kernels.pallas_pull_sharded import (  # noqa: E501
                 make_sharded_pallas_runner,
             )
@@ -56,7 +71,10 @@ def main() -> int:
                 cfg, n, mesh, k_steps=16,
                 force_halo_layout=name.endswith("ylanes"),
                 halo_impl="rdma" if name.endswith("rdma") else "ppermute")
-        out = runner(shard_state(engine.init_state(cfg), mesh))
+        st0 = engine.init_state(cfg)
+        if name.startswith("sharded"):
+            st0 = shard_state(st0, mesh)
+        out = runner(st0)
         out_f = np.asarray(out.f)
         dt = time.perf_counter() - t0
         if np.array_equal(out_f, ref_f):

@@ -161,3 +161,31 @@ def test_stacked_cavities_match_independent_runs():
             np.asarray(out.rho_lid)[k * cfg.nx : (k + 1) * cfg.nx],
             np.asarray(singles[k].rho_lid),
         )
+
+
+def test_grouped_rolls_match_per_plane_rolls():
+    """The grouped gather schedule (one wide roll per distinct shift, the
+    compiled-path default) must produce exactly the per-plane roll values:
+    the roll axis never crosses the concatenated seams.  Pinned here
+    directly because kernels in interpret mode always take the per-plane
+    path (XLA:CPU FMA-contraction noise would break the engine pin)."""
+    from latticeboltzmannsimulations_tpu import lattice
+    from latticeboltzmannsimulations_tpu.kernels.pallas_pull import (
+        _grouped_rolls,
+    )
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    planes = [jnp.asarray(rng.normal(size=(16, 128)), jnp.float32)
+              for _ in range(lattice.Q)]
+    for shifts in (
+        [int(lattice.CX[k]) for k in range(lattice.Q)],        # x pattern
+        [-int(lattice.CY[k]) for k in range(lattice.Q)],       # y pattern
+    ):
+        for axis in (0, 1):
+            got = _grouped_rolls(planes, shifts, axis=axis, interpret=True)
+            for p, s, g in zip(planes, shifts, got):
+                np.testing.assert_array_equal(
+                    np.asarray(g), np.asarray(jnp.roll(p, s, axis=axis))
+                )
