@@ -40,6 +40,7 @@ by measurement accident.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
@@ -53,6 +54,7 @@ from ..engine import _collide
 from ..ops.equilibrium import equilibrium, lid_row_density, macroscopics
 from .pallas_pull import (
     _compiler_params,
+    _grouped_rolls,
     _is_small_field,
     _lane_roll,
     _make_window_dma,
@@ -64,6 +66,8 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool, n_buf: int):
     nx, ny = cfg.nx, cfg.ny
     u_lid = cfg.u_lid
     n_tiles = nx // tile_x
+    grouped_gather = (not interpret
+                      and os.environ.get("LBM_GATHER_GROUPED", "1") == "1")
     w = tile_x + 16          # compute-slice width (own cols at offset 8)
 
     def kernel(f_hbm, f_out_ref, scratch, sem):
@@ -121,12 +125,18 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool, n_buf: int):
         fpost = _collide(cfg, f_c, feq, rho)
 
         # --- push streaming: st_k(x, y) = fpost_k(x - cx, y + cy) ----------
-        st = []
-        for k in range(lattice.Q):
-            cx = int(lattice.CX[k])
-            cy = int(lattice.CY[k])
-            p = fpost[k, 8 - cx : 8 - cx + tile_x, :]
-            st.append(_lane_roll(p, -cy, interpret))
+        planes = [fpost[k, 8 - int(lattice.CX[k]):
+                        8 - int(lattice.CX[k]) + tile_x, :]
+                  for k in range(lattice.Q)]
+        shifts = [-int(lattice.CY[k]) for k in range(lattice.Q)]
+        if grouped_gather:
+            # Grouped roll schedule on the compiled path, same as the pull
+            # kernels (see pallas_pull._grouped_rolls); interpret keeps
+            # per-plane rolls for the ulp-exact oracle pins.
+            st = _grouped_rolls(planes, shifts, axis=1, interpret=interpret)
+        else:
+            st = [_lane_roll(p, sh, interpret)
+                  for p, sh in zip(planes, shifts)]
         feq_t = [feq[k, 8 : 8 + tile_x, :] for k in range(lattice.Q)]
 
         # --- full NEBB rewrite, boundary.nebb branch order -----------------
