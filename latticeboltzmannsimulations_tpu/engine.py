@@ -204,6 +204,63 @@ def _fused_gather_bc(cfg: SimConfig, f, rho_lid_prev):
     return g
 
 
+def _fused_gather_bc_tangential(cfg: SimConfig, f):
+    """Gather + reduced static walls + Zou-He tangential lid closure.
+
+    The pull-scheme form of ``ops.boundary.nebb_tangential`` (reference
+    commented experiment ``MRT.py:461-482``): the three static walls reduce
+    to in-register bounce-back exactly as in ``_fused_gather_bc`` (their
+    ``feq_k - feq_kbar`` momentum term vanishes at zero wall velocity), and
+    the lid closure needs no equilibrium at all — only the post-gather
+    populations and ``u_lid`` — so unlike reduced NEBB it carries *no*
+    previous-step lid density.  Corner cells use the Zou-He corner rule at
+    unit density.  Measured at the Re=100 gate this closure halves L2 vs
+    the production reduced NEBB (docs/artifacts/slow_gates.json), which is
+    why it exists as a flagship-resolution control (VERDICT r4 next #1).
+    """
+    nx, ny = cfg.nx, cfg.ny
+    u_lid = cfg.u_lid
+    g = gather_pull(f)
+    # Static walls: in-register bounce-back (identical to _fused_gather_bc).
+    g = g.at[1, 0, :].set(g[3, 0, :])
+    g = g.at[5, 0, :].set(g[7, 0, :])
+    g = g.at[8, 0, :].set(g[6, 0, :])
+    g = g.at[3, nx - 1, :].set(g[1, nx - 1, :])
+    g = g.at[6, nx - 1, :].set(g[8, nx - 1, :])
+    g = g.at[7, nx - 1, :].set(g[5, nx - 1, :])
+    g = g.at[2, :, ny - 1].set(g[4, :, ny - 1])
+    g = g.at[5, :, ny - 1].set(g[7, :, ny - 1])
+    g = g.at[6, :, ny - 1].set(g[8, :, ny - 1])
+    # Zou-He tangential lid closure (full row; corners fixed below).
+    tang = 0.5 * (g[1, :, 0] - g[3, :, 0]) - 0.5 * u_lid
+    g = g.at[4, :, 0].set(g[2, :, 0])
+    g = g.at[7, :, 0].set(g[5, :, 0] + tang)
+    g = g.at[8, :, 0].set(g[6, :, 0] - tang)
+    # Zou-He corner rule at unit density (ops.boundary.nebb_tangential).
+    g = g.at[1, 0, 0].set(g[3, 0, 0] + (2.0 / 3.0) * u_lid)
+    g = g.at[4, 0, 0].set(g[2, 0, 0])
+    g = g.at[8, 0, 0].set(g[6, 0, 0] + (1.0 / 6.0) * u_lid)
+    g = g.at[5, 0, 0].set(u_lid / 12.0)
+    g = g.at[7, 0, 0].set(-u_lid / 12.0)
+    g = g.at[0, 0, 0].set(1.0 - g[1:, 0, 0].sum(axis=0))
+    e = nx - 1
+    g = g.at[3, e, 0].set(g[1, e, 0] - (2.0 / 3.0) * u_lid)
+    g = g.at[4, e, 0].set(g[2, e, 0])
+    g = g.at[7, e, 0].set(g[5, e, 0] - (1.0 / 6.0) * u_lid)
+    g = g.at[6, e, 0].set(-u_lid / 12.0)
+    g = g.at[8, e, 0].set(u_lid / 12.0)
+    g = g.at[0, e, 0].set(1.0 - g[1:, e, 0].sum(axis=0))
+    return g
+
+
+def _fused_bc(cfg: SimConfig, f, rho_lid_prev):
+    """Boundary dispatch for the fused pull engines: reduced NEBB
+    (production) or the tangential Zou-He lid variant."""
+    if cfg.boundary == "nebb_tangential":
+        return _fused_gather_bc_tangential(cfg, f)
+    return _fused_gather_bc(cfg, f, rho_lid_prev)
+
+
 def _fused_macros(cfg: SimConfig, g):
     """Macros + wall overrides for the fused step (GPU-kernel corner rules)."""
     rho, u = macroscopics(g)
@@ -213,7 +270,7 @@ def _fused_macros(cfg: SimConfig, g):
 
 def make_fused_step(cfg: SimConfig) -> Callable[[State], State]:
     def step(state: State) -> State:
-        g = _fused_gather_bc(cfg, state.f, state.rho_lid)
+        g = _fused_bc(cfg, state.f, state.rho_lid)
         rho, u = _fused_macros(cfg, g)
         feq = equilibrium(rho, u)
         f_new = _collide(cfg, g, feq, rho)
@@ -246,7 +303,7 @@ def observables(cfg: SimConfig, state: State):
     """Macroscopic (rho, u) as the reference engines report them: the
     boundary-corrected pre-collision moments with wall overrides applied
     (reference: MRTTiledPull.py:454-472)."""
-    g = _fused_gather_bc(cfg, state.f, state.rho_lid)
+    g = _fused_bc(cfg, state.f, state.rho_lid)
     return _fused_macros(cfg, g)
 
 

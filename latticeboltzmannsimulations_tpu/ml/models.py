@@ -140,6 +140,19 @@ class CavityCNN(nn.Module):
 
     preset: CNNPreset
     compute_dtype: jnp.dtype = jnp.float32
+    # Weight initialization family.  'lecun_normal' is the flax default the
+    # r2-r4 trainings used; 'glorot_uniform' reproduces the Keras 2.x
+    # default for Conv2D/Conv2DTranspose (bias is zeros in both stacks), the
+    # one framework-level variable the r4 "faithful recipe" runs never
+    # controlled (VERDICT r4 missing #1).
+    kernel_init: str = "lecun_normal"
+
+    def _kinit(self):
+        if self.kernel_init == "lecun_normal":
+            return nn.initializers.lecun_normal()
+        if self.kernel_init == "glorot_uniform":
+            return nn.initializers.glorot_uniform()
+        raise ValueError(f"unknown kernel_init {self.kernel_init!r}")
 
     def _act(self, x):
         if self.preset.activation == "leaky_relu":
@@ -152,6 +165,7 @@ class CavityCNN(nn.Module):
             z = nn.ConvTranspose(
                 feat, (k, k), strides=(s, s), padding="SAME",
                 dtype=self.compute_dtype, name=f"{name}_deconv{i}",
+                kernel_init=self._kinit(),
             )(z)
             z = self._act(z)
         return z
@@ -171,6 +185,7 @@ class CavityCNN(nn.Module):
             branches = [
                 self._act(nn.Conv(8, (k, k), padding="SAME",
                                   dtype=self.compute_dtype,
+                                  kernel_init=self._kinit(),
                                   name=f"ms{k}")(x))
                 for k in p.multiscale_front
             ]
@@ -179,7 +194,8 @@ class CavityCNN(nn.Module):
         # Strided encoder.
         for i, (feat, k, s) in enumerate(p.encoder):
             x = nn.Conv(feat, (k, k), strides=(s, s), padding="SAME",
-                        dtype=self.compute_dtype, name=f"enc{i}")(x)
+                        dtype=self.compute_dtype, kernel_init=self._kinit(),
+                        name=f"enc{i}")(x)
             x = self._act(x)
 
         # Decoder(s): twin branches concatenated (CNN_One..Nine) or single
@@ -197,15 +213,18 @@ class CavityCNN(nn.Module):
             feats.append(aux)
         y = jnp.concatenate(feats, axis=-1)
         y = self._act(nn.Conv(16, (1, 1), dtype=self.compute_dtype,
-                              name="head0")(y))
-        y = nn.Conv(1, (1, 1), dtype=jnp.float32, name="head1")(y)
+                              kernel_init=self._kinit(), name="head0")(y))
+        y = nn.Conv(1, (1, 1), dtype=jnp.float32,
+                    kernel_init=self._kinit(), name="head1")(y)
         return y
 
 
-def make_model(preset_name: str, compute_dtype=jnp.float32) -> CavityCNN:
+def make_model(preset_name: str, compute_dtype=jnp.float32,
+               kernel_init: str = "lecun_normal") -> CavityCNN:
     if preset_name not in PRESETS:
         raise KeyError(f"unknown preset {preset_name!r}; have {list(PRESETS)}")
-    return CavityCNN(preset=PRESETS[preset_name], compute_dtype=compute_dtype)
+    return CavityCNN(preset=PRESETS[preset_name], compute_dtype=compute_dtype,
+                     kernel_init=kernel_init)
 
 
 def input_channels(preset: CNNPreset) -> int:

@@ -165,6 +165,7 @@ def train(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 25,
     mesh: Optional[jax.sharding.Mesh] = None,
+    kernel_init: str = "lecun_normal",
 ) -> TrainResult:
     """Train one velocity-component surrogate.  Pass ``init_params`` to
     fine-tune from saved weights at a lower LR (the ``CNN_test.py``
@@ -192,7 +193,9 @@ def train(
     preset = PRESETS[preset_name]
     if optimizer is not None:
         preset = dataclasses.replace(preset, optimizer=optimizer)
-    model = make_model(preset_name)
+    # 'glorot_uniform' reproduces the Keras 2.x Conv/ConvTranspose default
+    # for init-controlled reference-parity runs (see models.CavityCNN).
+    model = make_model(preset_name, kernel_init=kernel_init)
     from .models import check_grid
 
     check_grid(preset, data.fnet.shape[1], data.fnet.shape[2])
@@ -263,7 +266,12 @@ def train(
     # --assemble-partial training set later replaced by the full sweep —
     # same recipe, but different n, shuffle universe and epoch accounting).
     # Sample count + grid shape + a strided center-pixel checksum is cheap
-    # and catches both size and content changes.
+    # and catches both size and content changes.  NOTE (intended one-time
+    # break, ADVICE r4): adding the data_* keys invalidates checkpoints
+    # written before r4's datagen rebuild — deliberate, because every such
+    # checkpoint predates the quarantine-filtered dataset and resuming one
+    # against the rebuilt data would silently mix shuffle universes.  All r4
+    # legs completed, so nothing in flight was lost.
     _g = data.fnet.shape[1] // 2
     _sig = np.asarray(
         data.fnet[:: max(1, len(data.fnet) // 8), _g, _g, :], np.float64)
@@ -274,6 +282,10 @@ def train(
               "epochs": epochs if schedule in ("cosine", "plateau") else None,
               "data_n": int(len(x)), "data_shape": list(data.fnet.shape),
               "data_sig": float(np.abs(_sig).sum())}
+    if kernel_init != "lecun_normal":
+        # Key only present for non-default inits, so pre-existing default-
+        # init checkpoints keep resuming (their recipes lack the key).
+        recipe["kernel_init"] = kernel_init
 
     start_epoch = 0
     if checkpoint_path and os.path.exists(checkpoint_path):

@@ -101,10 +101,16 @@ def _select_backend(cfg: SimConfig, opts: SimOptions):
     if cfg.boundary != "nebb":
         if cfg.mesh_shape != (1, 1):
             raise ValueError(
-                f"boundary {cfg.boundary!r} runs on the single-chip "
-                f"push-oracle engine; requested mesh {cfg.mesh_shape} "
-                "would be silently ignored"
+                f"boundary {cfg.boundary!r} runs on a single-chip engine; "
+                f"requested mesh {cfg.mesh_shape} would be silently ignored"
             )
+        if cfg.boundary == "nebb_tangential":
+            # Fused pull engine supports the tangential lid natively (r5:
+            # flagship-resolution BC-closure control needs fused speed, not
+            # the unfused push oracle's).
+            runner = lambda n: engine.make_scan_runner(cfg, n)  # noqa: E731
+            obs = jax.jit(lambda s: engine.observables(cfg, s))
+            return runner, obs, (lambda s: s), "jit"
         runner, obs = _push_style(cfg, engine.make_push_oracle_step(cfg))
         return runner, obs, (lambda s: s), "push-oracle"
     # Explicitly-requested single-chip backends must not silently drop a

@@ -22,18 +22,29 @@ _PROBE = ("import jax, jax.numpy as jnp, numpy as np; "
 
 def backend_answers(timeout_s: float = 240.0) -> bool:
     """True iff a fresh subprocess can initialize the default jax backend
-    and execute one tiny dispatch within ``timeout_s``."""
+    and execute one tiny dispatch within ``timeout_s``.
+
+    The child's stderr is captured and its tail surfaced on failure, so a
+    probe that fails for a non-relay reason (import error, OOM) is
+    distinguishable from a hung relay in the caller's log (ADVICE r4: the
+    DEVNULL version made BENCH_r03-style postmortems evidence-free)."""
     proc = subprocess.Popen(
         [sys.executable, "-c", _PROBE],
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True,
     )
     try:
-        proc.communicate(timeout=timeout_s)
+        _, err = proc.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
         proc.kill()
         try:
             proc.communicate(timeout=30)
         except subprocess.TimeoutExpired:
             pass  # unkillable (D-state) child: the backend is dead to us
+        print(f"relay probe: child hung past {timeout_s}s (killed)",
+              file=sys.stderr, flush=True)
         return False
+    if proc.returncode != 0:
+        tail = "\n".join((err or "").strip().splitlines()[-8:])
+        print(f"relay probe: child exited rc={proc.returncode}; stderr tail:\n"
+              f"{tail}", file=sys.stderr, flush=True)
     return proc.returncode == 0

@@ -99,6 +99,8 @@ def main() -> int:
         ok = (np.ones(len(eval_ds.re_range), bool) if eval_ds.failed is None
               else ~eval_ds.failed)
         cand = np.where(ok)[0]
+        if not len(cand):
+            raise RuntimeError("all eval slots quarantined in this dataset")
         i = int(cand[np.argmin(np.abs(eval_ds.re_range[cand] - EVAL_RE))])
         eval_re = float(eval_ds.re_range[i])
         fnet, aux = predict.build_input(name, eval_re, eval_ds.feq_initial,

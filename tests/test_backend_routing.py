@@ -81,3 +81,19 @@ def test_non_nebb_routes_push_oracle(monkeypatch):
     cfg = SimConfig(nx=256, ny=256, reynolds=1000.0, precision="float32",
                     boundary="bounce_back")
     assert _route(cfg, monkeypatch) == "push-oracle"
+
+
+def test_nebb_tangential_routes_fused_jit(monkeypatch):
+    # The tangential lid has a native fused pull form (r5); never Pallas
+    # (whose kernel implements only the reduced NEBB) and never push-oracle.
+    cfg = SimConfig(nx=512, ny=512, reynolds=1000.0, precision="float32",
+                    boundary="nebb_tangential")
+    assert _route(cfg, monkeypatch) == "jit"
+    assert _route(cfg, monkeypatch, platform="cpu") == "jit"
+
+
+def test_nebb_tangential_mesh_rejected(monkeypatch):
+    cfg = SimConfig(nx=512, ny=512, reynolds=1000.0, precision="float32",
+                    boundary="nebb_tangential", mesh_shape=(2, 1))
+    with pytest.raises(ValueError, match="single-chip"):
+        _route(cfg, monkeypatch)

@@ -116,3 +116,68 @@ def test_float32_runs_stable():
     s = runner(engine.init_state(cfg))
     assert s.f.dtype == jnp.float32
     assert bool(jnp.all(jnp.isfinite(s.f)))
+
+
+# ---------------------------------------------------------------------------
+# Tangential-lid fused pull variant (r5: flagship BC-closure control)
+# ---------------------------------------------------------------------------
+
+def test_fused_tangential_bc_matches_ops_boundary():
+    """The fused tangential gather+BC must equal gather -> ops.boundary
+    .nebb_tangential with a wall-consistent equilibrium: the static-wall
+    NEBB term feq_k - feq_kbar vanishes *exactly* (opposite pairs share
+    weights and u=0 there), and the lid/corner closures use no feq at all,
+    so the reduction is exact — not just approximate."""
+    from latticeboltzmannsimulations_tpu.ops import boundary as bc_ops
+    from latticeboltzmannsimulations_tpu.ops.equilibrium import equilibrium as eq
+    from latticeboltzmannsimulations_tpu.ops.streaming import gather_pull
+
+    cfg = small_cfg(boundary="nebb_tangential")
+    rng = np.random.default_rng(7)
+    rho = jnp.asarray(1.0 + 0.05 * rng.standard_normal((cfg.nx, cfg.ny)))
+    u = jnp.asarray(0.05 * rng.standard_normal((2, cfg.nx, cfg.ny)))
+    # wall-consistent u: zero on the static walls (any lid value works —
+    # the tangential closure overwrites the lid populations feq-free)
+    u = u.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0).at[:, :, -1].set(0.0)
+    f = eq(rho, u)
+
+    got = engine._fused_gather_bc_tangential(cfg, f)
+    want = bc_ops.nebb_tangential(gather_pull(f), eq(rho, u), cfg.u_lid)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_tangential_steady_state_push_vs_fused():
+    """Fused pull tangential engine and the push-oracle tangential engine
+    integrate the same physics (pull/push duals of one closure).
+
+    48x40 grid: the Zou-He corner rule at unit density is unstable on very
+    coarse grids (~24 cells — BOTH engines blow up there, push first), so
+    this runs at the smallest size where the closure is stable."""
+    cfg = small_cfg(nx=48, ny=40, boundary="nebb_tangential", max_steps=4000)
+    fused = engine.make_scan_runner(cfg, 2000)
+    push = jax.jit(engine.make_push_oracle_step(cfg))
+
+    s = fused(engine.init_state(cfg))
+    _, u_pull = engine.observables(cfg, s)
+
+    f = engine.init_state(cfg).f
+    for _ in range(2000):
+        f = push(f)
+    from latticeboltzmannsimulations_tpu.ops import macroscopics, boundary
+
+    rho, u_push = macroscopics(f)
+    u_push, _ = boundary.override_wall_velocity(u_push, rho, f, cfg.u_lid,
+                                                "wall")
+    a = np.asarray(u_pull)[:, 1:-1, 1:-1]
+    b = np.asarray(u_push)[:, 1:-1, 1:-1]
+    assert np.max(np.abs(a - b)) / cfg.u_lid < 2e-3
+
+
+def test_tangential_fused_mass_bounded():
+    """The Zou-He corner rule pins corner density; total mass must stay
+    bounded over thousands of fused tangential steps."""
+    cfg = small_cfg(nx=48, ny=40, boundary="nebb_tangential", max_steps=3000)
+    runner = engine.make_scan_runner(cfg, 3000)
+    s = runner(engine.init_state(cfg))
+    rho, _ = engine.observables(cfg, s)
+    assert abs(float(np.asarray(rho).mean()) - 1.0) < 0.02

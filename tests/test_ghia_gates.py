@@ -92,7 +92,7 @@ def test_simulate_bounce_back_fallback(tmp_path):
 
 
 def test_simulate_nebb_tangential_fallback(tmp_path):
-    """The tangential-lid variant routes to the push-oracle engine too."""
+    """The tangential-lid variant routes to the fused-jit engine (r5)."""
     cfg = SimConfig(nx=48, ny=48, reynolds=100.0, boundary="nebb_tangential",
                     max_steps=200, report_interval=100, precision="float32")
     s = simulate(cfg, SimOptions(out_dir=str(tmp_path), verbose=False,
