@@ -48,6 +48,23 @@ from ..ops.equilibrium import equilibrium, lid_row_density, macroscopics
 
 VMEM_LIMIT_BYTES = 100 * 2**20  # v5e exposes ~128MB; default scoped limit is 16MB
 
+# cy-grouped plane-storage order (the r5 gather-schedule experiment,
+# CLAUDE.md "gather schedule (a)"): planes sharing a lane shift are stored
+# k-contiguously — thirds [UP | CENT_H | DOWN] = [2,5,6 | 0,1,3 | 4,7,8] —
+# so the y-gather becomes ONE wide ``pltpu.roll`` per moving third applied
+# directly to the staged scratch slab (no concatenate/split data movement),
+# and the x-gather offsets turn into value slices of the rolled slabs.
+# The layout is internal to a scan dispatch: ``make_scan_runner`` permutes
+# the lattice-order state once on entry and back once on exit, so the
+# external ``engine.State`` contract is unchanged.
+PLANE_ORDER_CY: tuple = tuple(
+    int(k) for k in (*lattice.UP, *lattice.CENT_H, *lattice.DOWN)
+)
+
+
+def _env_plane_order():
+    return PLANE_ORDER_CY if os.environ.get("LBM_PLANE_ORDER") == "cy" else None
+
 
 def _is_small_field(nx: int, ny: int) -> bool:
     """Does the in+out field pair fit the compiler's VMEM-residency fast
@@ -171,7 +188,8 @@ def _grouped_rolls(planes: list, shifts: list, axis: int, interpret: bool):
 
 def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
                  n_buf: int = 2, traced_omega: bool = False,
-                 n_cav: int = 1, van_driest: bool = False):
+                 n_cav: int = 1, van_driest: bool = False,
+                 plane_order: tuple | None = None):
     """``n_cav > 1`` stacks that many *independent* cavities along x (field
     width ``n_cav * nx``), each with its own traced omega — the wall rewrite
     fires at every cavity boundary, and every population that a tile gathers
@@ -194,6 +212,11 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
     # a direct unit test.
     grouped_gather = (not interpret
                       and os.environ.get("LBM_GATHER_GROUPED", "1") == "1")
+    if plane_order is not None:
+        # Each stored third must share one cy so it rolls as a single slab.
+        for t3 in range(3):
+            cys = {int(lattice.CY[plane_order[3 * t3 + i]]) for i in range(3)}
+            assert len(cys) == 1, plane_order
 
     def kernel(*refs):
         refs = list(refs)
@@ -257,19 +280,47 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
         # --- pull gather: g_k(x, y) = f_k(x - cx, y + cy) ------------------
         # x via static slices of the staged halo window; y via a lane roll
         # whose wrap values only land in lid/bottom-rewritten populations.
-        planes = [scratch[slot, k,
-                          16 - int(lattice.CX[k]):
-                          16 - int(lattice.CX[k]) + tile_x, :]
-                  for k in range(lattice.Q)]
-        shifts = [-int(lattice.CY[k]) for k in range(lattice.Q)]
-        if grouped_gather:
-            # Grouped schedule (default): one 3x-wide lane roll per y
-            # direction (2 rolls instead of 6) — same values, bit-identical;
-            # measured +6% @1024² on chip (see _grouped_rolls).
-            gs = _grouped_rolls(planes, shifts, axis=1, interpret=interpret)
+        if plane_order is not None:
+            # cy-grouped storage: each stored third shares one lane shift,
+            # so the moving thirds roll as whole scratch slabs (2 wide rolls,
+            # zero concatenate/split movement) and the per-plane x-offsets
+            # become value slices of the rolled slabs.  Same values as the
+            # per-plane schedule — rolls and slices are pure data movement.
+            pos = {int(k): j for j, k in enumerate(plane_order)}
+            slabs = []
+            for t3 in range(3):
+                s = -int(lattice.CY[plane_order[3 * t3]])
+                if s == 0:
+                    slabs.append(None)  # static third: slice scratch directly
+                    continue
+                slab = scratch[slot, 3 * t3:3 * t3 + 3, :, :]
+                slab = (jnp.roll(slab, s, axis=2) if interpret
+                        else pltpu.roll(slab, shift=s % ny, axis=2))
+                slabs.append(slab)
+            gs = []
+            for k in range(lattice.Q):
+                j = pos[k]
+                off = 16 - int(lattice.CX[k])
+                slab = slabs[j // 3]
+                if slab is None:
+                    gs.append(scratch[slot, j, off:off + tile_x, :])
+                else:
+                    gs.append(slab[j % 3, off:off + tile_x, :])
         else:
-            gs = [_lane_roll(p, s, interpret)
-                  for p, s in zip(planes, shifts)]
+            planes = [scratch[slot, k,
+                              16 - int(lattice.CX[k]):
+                              16 - int(lattice.CX[k]) + tile_x, :]
+                      for k in range(lattice.Q)]
+            shifts = [-int(lattice.CY[k]) for k in range(lattice.Q)]
+            if grouped_gather:
+                # Grouped schedule (default): one 3x-wide lane roll per y
+                # direction (2 rolls instead of 6) — same values,
+                # bit-identical; measured +6% @1024² (see _grouped_rolls).
+                gs = _grouped_rolls(planes, shifts, axis=1,
+                                    interpret=interpret)
+            else:
+                gs = [_lane_roll(p, s, interpret)
+                      for p, s in zip(planes, shifts)]
 
         # --- reduced NEBB wall rewrite (engine._fused_gather_bc) ----------
         # Branch-free where-selects on the individual planes (a scatter-free
@@ -330,14 +381,19 @@ def _make_kernel(cfg: SimConfig, tile_x: int, interpret: bool,
         cs2 = cs2_ref[:, :] if van_driest else None
         f_new = _collide(cfg, g, feq, rho, omega=omega, cs2_field=cs2)
 
-        f_out_ref[:, :, :] = f_new
+        if plane_order is not None:
+            f_out_ref[:, :, :] = jnp.stack([f_new[int(k)]
+                                            for k in plane_order])
+        else:
+            f_out_ref[:, :, :] = f_new
         rho_lid_out_ref[:, 0] = rho[:, 0]
 
     return kernel
 
 
 def make_step(cfg: SimConfig, interpret: bool = False,
-              traced_omega: bool = False, n_cav: int = 1) -> Callable[..., State]:
+              traced_omega: bool = False, n_cav: int = 1,
+              plane_order: tuple | None = None) -> Callable[..., State]:
     """One fused Pallas collide-and-stream step, same trajectory as
     ``engine.make_fused_step`` (asserted by tests).
 
@@ -349,7 +405,12 @@ def make_step(cfg: SimConfig, interpret: bool = False,
     With ``n_cav > 1`` (requires ``traced_omega``) the state stacks that many
     independent cavities along x — ``f (9, n_cav*nx, ny)``,
     ``rho_lid (n_cav*nx,)`` — and ``omega`` is a ``(n_cav,)`` vector: one
-    dispatch advances a whole batch of Reynolds numbers at kernel speed."""
+    dispatch advances a whole batch of Reynolds numbers at kernel speed.
+
+    With ``plane_order`` set, ``state.f`` is expected AND returned in that
+    permuted plane layout (stored plane ``j`` = lattice plane
+    ``plane_order[j]``); callers own the boundary permutes — see
+    ``make_scan_runner``."""
     cfg.validate()
     if n_cav > 1 and not traced_omega:
         raise ValueError("stacked cavities (n_cav > 1) require traced_omega")
@@ -380,7 +441,7 @@ def make_step(cfg: SimConfig, interpret: bool = False,
     n_buf = 1 if _is_small_field(nx_total, ny) else 2
     kernel = _make_kernel(cfg, tile_x, interpret, n_buf=n_buf,
                           traced_omega=traced_omega, n_cav=n_cav,
-                          van_driest=van_driest)
+                          van_driest=van_driest, plane_order=plane_order)
     if van_driest:
         from ..ops.collision import van_driest_cs2
 
@@ -437,19 +498,44 @@ def make_step(cfg: SimConfig, interpret: bool = False,
     return step
 
 
-def make_scan_runner(cfg: SimConfig, n_steps: int, interpret: bool = False):
+def make_scan_runner(cfg: SimConfig, n_steps: int, interpret: bool = False,
+                     plane_order: tuple | None | str = "env"):
     """N Pallas steps in one jitted dispatch (lax.scan) — the sound TPU
     version of the reference's persistent-kernel time loop
-    (reference: ``MRTtestLoopIn.py:366-472``)."""
-    step = make_step(cfg, interpret=interpret)
+    (reference: ``MRTtestLoopIn.py:366-472``).
+
+    ``plane_order`` selects the internal plane-storage layout experiment:
+    the default ``"env"`` reads ``LBM_PLANE_ORDER`` (``cy`` →
+    ``PLANE_ORDER_CY``, unset → lattice order).  The permute in/out costs
+    one extra f-copy per *dispatch*, amortized over ``n_steps``; the
+    external state contract stays lattice-order either way."""
+    if plane_order == "env":
+        plane_order = _env_plane_order()
+    step = make_step(cfg, interpret=interpret, plane_order=plane_order)
+
+    if plane_order is None:
+        @jax.jit
+        def run(state: State) -> State:
+            def body(s, _):
+                return step(s), None
+
+            state, _ = jax.lax.scan(body, state, None, length=n_steps)
+            return state
+
+        return run
+
+    perm = jnp.asarray(plane_order)
+    inv = jnp.asarray(np.argsort(np.asarray(plane_order)))
 
     @jax.jit
     def run(state: State) -> State:
+        s = State(f=state.f[perm], rho_lid=state.rho_lid)
+
         def body(s, _):
             return step(s), None
 
-        state, _ = jax.lax.scan(body, state, None, length=n_steps)
-        return state
+        s, _ = jax.lax.scan(body, s, None, length=n_steps)
+        return State(f=s.f[inv], rho_lid=s.rho_lid)
 
     return run
 

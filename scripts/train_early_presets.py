@@ -53,6 +53,10 @@ def main() -> int:
     ap.add_argument("--clip-norm", type=float, default=None,
                     help="global-norm gradient clipping (stabilises "
                          "raw-scaled presets that diverge at lr 1e-3)")
+    ap.add_argument("--kernel-init", default="lecun_normal",
+                    choices=["lecun_normal", "glorot_uniform"],
+                    help="glorot_uniform = Keras 2.x Conv/ConvTranspose "
+                         "default (the r5 init-controlled retry)")
     ap.add_argument("--data", default=None)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -86,6 +90,7 @@ def main() -> int:
         res = tr.train(name, data, component="x", epochs=epochs,
                        optimizer=args.optimizer, learning_rate=args.lr,
                        schedule=args.schedule, clip_norm=args.clip_norm,
+                       kernel_init=args.kernel_init,
                        checkpoint_path=os.path.join(out_dir, f"{name}_x.ckpt"),
                        checkpoint_every=25)
         dt = time.time() - t0
@@ -121,6 +126,8 @@ def main() -> int:
             "train_s": round(dt, 1),
             "lr": args.lr,
             "optimizer": args.optimizer,
+            **({"kernel_init": args.kernel_init}
+               if args.kernel_init != "lecun_normal" else {}),
             **({"schedule": args.schedule} if args.schedule else {}),
             **({"clip_norm": args.clip_norm}
                if args.clip_norm is not None else {}),

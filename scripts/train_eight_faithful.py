@@ -41,6 +41,11 @@ EPOCHS = 600
 LR = 1e-3
 SCHEDULE = "inverse"  # Keras decay=0.02 parity (CNN_Eight.py:145)
 BATCH = 20
+# r5 init-controlled variant (VERDICT r4 missing #1): glorot_uniform is the
+# Keras 2.x Conv/ConvTranspose default the r4 faithful run did not match;
+# LBM_KERNEL_INIT=glorot_uniform reruns the same recipe init-matched into
+# its own artifact dir (cnn_eight_glorot).
+KERNEL_INIT = os.environ.get("LBM_KERNEL_INIT", "lecun_normal")
 
 t0 = time.time()
 
@@ -53,7 +58,10 @@ def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     data_dir = os.path.join(root, "data", "ml_full")
     out_root = os.path.join(root, "docs", "artifacts", "ml_full")
-    out_dir = os.path.join(out_root, "cnn_eight_faithful")
+    out_dir = os.path.join(
+        out_root,
+        "cnn_eight_glorot" if KERNEL_INIT == "glorot_uniform"
+        else "cnn_eight_faithful")
     os.makedirs(out_dir, exist_ok=True)
 
     ds = datagen.load_dataset(data_dir)
@@ -84,6 +92,7 @@ def main() -> int:
         res = tr.train(NAME, data, component=comp, epochs=EPOCHS,
                        optimizer="rmsprop", learning_rate=LR,
                        schedule=SCHEDULE, batch_size=BATCH, verbose=True,
+                       kernel_init=KERNEL_INIT,
                        checkpoint_path=os.path.join(
                            out_dir, f"{NAME}_{comp}.ckpt"),
                        checkpoint_every=10)
@@ -101,7 +110,7 @@ def main() -> int:
             "recipe": {"optimizer": "rmsprop", "lr": LR,
                        "schedule": SCHEDULE + " (Keras decay=0.02 parity, "
                        "CNN_Eight.py:145)", "epochs": EPOCHS,
-                       "batch_size": BATCH},
+                       "batch_size": BATCH, "kernel_init": KERNEL_INIT},
             "final_val_mse": {c: results[c].history["val_loss"][-1]
                               for c in results},
             "held_out_eval": recs,

@@ -68,6 +68,42 @@ def test_scan_runner_matches_stepwise():
     np.testing.assert_array_equal(np.asarray(out.f), np.asarray(s.f))
 
 
+@pytest.mark.parametrize("collision", ["srt", "mrt"])
+def test_plane_order_cy_matches_lattice_order(collision):
+    """The cy-grouped plane-storage gather (r5 schedule experiment: slab
+    rolls on the scratch window instead of per-plane roll/concat) is pure
+    data movement — the permuted-layout scan runner must reproduce the
+    lattice-order runner exactly."""
+    cfg = _cfg(collision=collision)
+    ref = pallas_pull.make_scan_runner(cfg, 8, interpret=True,
+                                       plane_order=None)
+    per = pallas_pull.make_scan_runner(
+        cfg, 8, interpret=True, plane_order=pallas_pull.PLANE_ORDER_CY)
+    s0 = engine.init_state(cfg)
+    out_ref = ref(s0)
+    out_per = per(s0)
+    np.testing.assert_array_equal(np.asarray(out_per.f),
+                                  np.asarray(out_ref.f))
+    np.testing.assert_array_equal(np.asarray(out_per.rho_lid),
+                                  np.asarray(out_ref.rho_lid))
+
+
+def test_plane_order_env_flag(monkeypatch):
+    """LBM_PLANE_ORDER=cy routes the scan runner through the permuted
+    layout; the external state contract stays lattice-order."""
+    monkeypatch.setenv("LBM_PLANE_ORDER", "cy")
+    assert pallas_pull._env_plane_order() == pallas_pull.PLANE_ORDER_CY
+    cfg = _cfg(collision="mrt")
+    run = pallas_pull.make_scan_runner(cfg, 4, interpret=True)
+    ref = pallas_pull.make_scan_runner(cfg, 4, interpret=True,
+                                       plane_order=None)
+    s0 = engine.init_state(cfg)
+    np.testing.assert_array_equal(np.asarray(run(s0).f),
+                                  np.asarray(ref(s0).f))
+    monkeypatch.delenv("LBM_PLANE_ORDER")
+    assert pallas_pull._env_plane_order() is None
+
+
 def test_pick_tile_x_constraints():
     assert pallas_pull.pick_tile_x(1024, 1024) % 8 == 0
     assert 1024 % pallas_pull.pick_tile_x(1024, 1024) == 0
