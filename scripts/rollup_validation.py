@@ -21,14 +21,15 @@ ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "docs", "artifacts")
 
 # Context a bare number would misrepresent (full stories in docs/RESULTS.md).
+# The three rows the r4 rollup carried with "scored pre-correction" notes
+# (re3200_384_{mrt,srt}_les, re400_192_srt) were RE-MEASURED in place under
+# the current harness by scripts/r5_validate.py — every row is now
+# single-protocol; the superseded metrics live in *_metrics_pre_r5.jsonl.
 NOTES = {
-    # Historical runs kept as-measured: scored against the typo-poisoned
-    # Ghia CSV before validate/ghia_data.py corrected the Re=3200
-    # Ux(0.4531) transcription error (RESULTS.md "Ghia table corrections").
-    "re3200_384_mrt_les": "scored pre typo-correction; see RESULTS.md",
-    "re3200_384_srt_les": "scored pre typo-correction; see RESULTS.md",
-    # Pre-suspect-station harness (Re=400 uy(0.9063) still included).
-    "re400_192_srt": "scored pre suspect-station exclusion; see RESULTS.md",
+    "re1000_512_tang": "BC-closure control: Zou-He tangential lid "
+                       "(boundary=nebb_tangential); see RESULTS.md",
+    "re1000_512_bb": "BC-closure control: halfway bounce-back walls; "
+                     "see RESULTS.md",
 }
 
 
