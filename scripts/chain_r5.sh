@@ -28,6 +28,15 @@ remaining() { echo $(( DEADLINE - $(date +%s) )); }
 
 say "chain_r5 start; $(remaining)s to deadline"
 
+# 0. BASELINE config 3 at its literal grid (Re=10000 @1024^2 Pallas LES) —
+#    quick (~6 min at ~12k MLUPS), artifact-guarded by its .r5_done marker.
+if [ ! -f docs/artifacts/re10000_1024_mrt_les/.r5_done ] && [ "$(remaining)" -ge 3600 ]; then
+  say "RUN re10000-1024"
+  timeout -k 30 2700 python scripts/r5_validate.py re10000_1024_mrt_les \
+      >> "$LOGDIR/re10000_1024.log" 2>&1
+  say "DONE re10000-1024 rc=$?"
+fi
+
 # 1. Plane-order compiled trajectory check (new kernel shape: ~5 min Mosaic
 #    compile for the permuted variant; the lattice-order control is cached).
 if [ ! -f docs/artifacts/check_plane_order_tpu.json ] && [ "$(remaining)" -ge 3000 ]; then

@@ -64,6 +64,12 @@ RUNS = [
      4_000_000, 10_000),
     ("re3200_384_mrt_fine", 384, 3200.0, "mrt", "none", "nebb",
      8_000_000, 10_000),
+    # D. BASELINE config 3, literally: "Re=10000 cavity at 1024^2, tiled
+    #    Pallas pull-streaming with VMEM-resident tiles" — the Re=10^4 LES
+    #    physics row existed only at 512^2 (docs/artifacts/
+    #    re10000_512_mrt_les); this is the same config at the named grid.
+    ("re10000_1024_mrt_les", 1024, 10000.0, "mrt", "smagorinsky", "nebb",
+     3_000_000, 150_000),
 ]
 
 
