@@ -3,11 +3,13 @@
 #
 # scripts/loss_floor_report.py (r5) shows cnn_two/cnn_one/cnn_seven val-loss
 # tails still descending at their trained budgets (-1.7/-2.2/-0.10
-# decades/100ep) while cnn_four/five/six sit at the floor; the main chain's
-# stage 6 targets the at-floor set and is usually skipped for time anyway.
-# This runner waits for chain_r5 to exit (never two TPU processes), then
-# trains the three gap models to the reference's 500-epoch budget
-# (/root/reference/CNNOne_192/CNN_One.py:103) with whatever time remains.
+# decades/100ep) while cnn_four/five/six sit at the floor.  The main
+# chain's stage 6 did run this round and covered cnn_two at 500 epochs
+# (relL2 0.51% — docs/artifacts/ml_early_ref_budget/), so this runner
+# covers the remaining two: it waits for chain_r5 to exit (never two TPU
+# processes), then trains cnn_one and cnn_seven to the reference's
+# 500-epoch budget (/root/reference/CNNOne_192/CNN_One.py:103) with
+# whatever time remains.
 #
 #   bash scripts/chain_r5b.sh <deadline-epoch>
 #
@@ -49,6 +51,6 @@ say "RUN not-at-floor top-ups (budget ${budget}s)"
 timeout -k 30 "$budget" python scripts/tpu_watchdog.py \
     --stall-seconds 600 --max-restarts 2 --log "$LOGDIR/topup_floor.log" -- \
     python scripts/train_early_presets.py \
-      --models cnn_two,cnn_one,cnn_seven --epochs 500 \
+      --models cnn_one,cnn_seven --epochs 500 \
       --seven-384-epochs 0 --out docs/artifacts/ml_early_ref_budget
 say "DONE top-ups rc=$?; $(remaining)s to deadline"
