@@ -7,11 +7,13 @@ this renders the same evidence post-hoc from the weights saved by
 ``train_early_presets.py`` — CPU-only, one forward pass per model.
 
 Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-       PYTHONPATH=/root/repo:$PYTHONPATH python scripts/render_early_compare.py
+       PYTHONPATH=/root/repo:$PYTHONPATH python scripts/render_early_compare.py \
+       [--out docs/artifacts/ml_early_ref_budget]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -31,9 +33,13 @@ EVAL_RE = 5000.0
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="artifact root to scan (default docs/artifacts/ml_early)")
+    args = ap.parse_args()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     data_dir = os.path.join(root, "data", "ml_full")
-    out_root = os.path.join(root, "docs", "artifacts", "ml_early")
+    out_root = args.out or os.path.join(root, "docs", "artifacts", "ml_early")
 
     ds384 = datagen.load_dataset(data_dir)
     ds192 = downsample(ds384, 2)
